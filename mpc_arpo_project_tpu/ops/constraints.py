@@ -22,16 +22,18 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import flax.struct
 import jax.numpy as jnp
 import numpy as np
 
 
-class ConstraintGeom(NamedTuple):
-    """Static geometry/config consumed by the per-step reconfiguration.
+@flax.struct.dataclass
+class ConstraintGeom:
+    """Geometry/config pytree consumed by the per-step reconfiguration.
 
-    ``has_debris`` is static; with no debris the center defaults replicate the
-    reference's ``(-inf, -inf)`` sentinel so every activation test is False
-    (`simhelpers.py:60-64`).
+    ``in_track`` is static aux data (it selects code paths); with no debris
+    the center defaults replicate the reference's ``(-inf, -inf)`` sentinel so
+    every activation test is False (`simhelpers.py:60-64`).
     """
 
     rp: jnp.ndarray  # platform radius
@@ -42,7 +44,7 @@ class ConstraintGeom(NamedTuple):
     side: jnp.ndarray  # debris bounding-box side length
     detect: jnp.ndarray  # detection distance
     verts: jnp.ndarray  # (4,2) bounding-box vertices, pre-rotated for in-track
-    in_track: bool  # STATIC
+    in_track: bool = flax.struct.field(pytree_node=False)
 
 
 def make_geometry(sim, debris, dtype=jnp.float64) -> ConstraintGeom:

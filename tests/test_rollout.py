@@ -1,0 +1,137 @@
+"""Closed-loop parity: the jitted lax.scan rollout must reproduce the NumPy
+oracle simulator (tools/ref_sim.py — the branchy float64 replica of
+`trajectorySimulate`) step for step: identical termination index, identical
+controller sequence, trajectories/estimates to ~1e-9.
+
+Shortened horizons keep CPU runtime reasonable; the full-length scenarios are
+exercised by the bench harness.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from mpc_arpo_project_tpu.config import SimConditions, MPCParams, FailsafeParams, Noise, Debris
+from mpc_arpo_project_tpu.rollout import discrete
+from tools.ref_sim import simulate_discrete
+
+
+def _configs(noisy, T_final=60.0):
+    v_ecr = 50000.0 * np.ones(5)
+    v_ecr[-2] *= -1
+    v_ecr[-1] = 0.0
+    mpc = MPCParams(
+        8e2 * np.diag([0.2**2, 10**2, 3.8**2, 900.0]),
+        1000**2 * np.eye(2),
+        5**2 * np.eye(5),
+        v_ecr,
+        {"Nx": 40, "Nc": 5, "Nb": 5},
+        (0.2, 0.2),
+    )
+    fail = FailsafeParams(
+        0.005 * np.diag([0.0001, 1, 100000.0, 1.0, 0.01]),
+        100 * np.eye(2),
+        np.eye(1, 4),
+        np.zeros((2, 2)),
+    )
+    debris = Debris((40.0, 0.0), 5.0, 20.0)
+    noise = Noise((0.4, 0.4), 20) if noisy else None
+    sim = SimConditions(
+        np.array([100.0, 10.0, 0.0, 0.0]),
+        np.array([2.5, 0.0, 0.0, 0.0]),
+        2.5,
+        10 * np.pi / 180,
+        1.5,
+        1.107e-3,
+        0.5,
+        True,
+        (0.2, 45.0),
+        noise,
+        False,
+        T_final=T_final,
+    )
+    return sim, mpc, fail, debris
+
+
+@pytest.mark.parametrize("noisy", [False, True])
+def test_rollout_matches_oracle(noisy):
+    """Discrete behavior (statuses, controller codes, per-step solver
+    iteration counts, termination, success) must match EXACTLY. Trajectory
+    values match to fp-noise in the noiseless case; in noisy runs with
+    max-iteration (non-converged) solver steps, last-bit XLA-vs-BLAS
+    differences are amplified over thousands of ADMM iterations and then by
+    closed-loop chaos, so real-valued tolerances are loose there — the
+    discrete-decision equality is the meaningful invariant."""
+    sim, mpc, fail, debris = _configs(noisy)
+    # capped max_iter keeps CPU runtime sane; the oracle runs the same cap
+    from mpc_arpo_project_tpu.ops import admm as admm_mod
+
+    settings = admm_mod.ADMMSettings(max_iter=1000)
+    engine = discrete.build_engine(sim, mpc, fail, debris, settings=settings,
+                                   dtype=jnp.float64)
+
+    rng = np.random.RandomState(42)
+    n_draws = engine.nsim // engine.noise_rep + 2
+    draws = rng.normal(0.0, 1.0, size=(n_draws, 4))
+    noise_seq = discrete.noise_sequence_from_draws(engine, draws[:, None, :])
+
+    out = jax.jit(discrete.rollout)(engine, noise_seq)
+    out = jax.tree.map(np.asarray, out)
+
+    D = np.asarray(engine.prob.D)
+    E = np.asarray(engine.prob.E)
+    c = float(engine.prob.c)
+    runo = simulate_discrete(
+        sim, mpc, fail, debris, noise_draws=draws,
+        solver_kwargs=dict(scaling_override=(D, E, c), max_iter=1000),
+    )
+
+    assert out.i_term[0] == runo.i_term
+    it = runo.i_term
+    np.testing.assert_array_equal(out.ctrl_seq[:it, 0], runo.ctrl_seq[:it].astype(np.int32))
+    tol = 5e-2 if noisy else 1e-8
+    np.testing.assert_allclose(out.x_true[: it + 1, 0, :].T, runo.x_true[:, : it + 1], atol=tol)
+    np.testing.assert_allclose(out.ctrls[: it + 1, 0, :].T, runo.ctrls[:, : it + 1], atol=tol)
+    np.testing.assert_allclose(out.x_est[: it + 1, 0, :].T, runo.x_est[:, : it + 1], atol=tol)
+    assert bool(out.success[0]) == runo.success
+
+
+def test_noiseless_radial_full_success():
+    """End-to-end: the full-length nominal radial approach must terminate by
+    reaching the platform with MPC active throughout and succeed — matching
+    the reference's canonical scenario behavior (traj_eval_radial)."""
+    sim, mpc, fail, debris = _configs(False, T_final=150.0)
+    engine = discrete.build_engine(sim, mpc, fail, debris, dtype=jnp.float64)
+    noise_seq = jnp.zeros((engine.nsim, 1, 4))
+    out = jax.jit(discrete.rollout)(engine, noise_seq)
+    assert int(out.i_term[0]) < engine.nsim  # terminated by arrival, not time
+    assert bool(out.success[0])
+    codes = np.asarray(out.ctrl_seq[: int(out.i_term[0]), 0])
+    assert (codes == 1).all()  # MPC the whole way
+
+    # terminal state inside the platform-radius termination shell
+    xf = np.asarray(out.x_true[int(out.i_term[0]), 0])
+    assert np.linalg.norm(xf[:2]) < sim.r_p + 0.5
+
+
+def test_batch_scenarios_independent():
+    """Scenarios in one batch must evolve independently: a batch of two
+    different initial states == the two single runs. Noiseless (all solver
+    steps converge), so results are robust to batched-vs-single XLA kernel
+    differences."""
+    sim, mpc, fail, debris = _configs(False, T_final=40.0)
+    engine = discrete.build_engine(sim, mpc, fail, debris, dtype=jnp.float64)
+    x0s = jnp.asarray([[100.0, 10.0, 0.0, 0.0], [95.0, 8.0, 0.0, 0.0]])
+    seq2 = jnp.zeros((engine.nsim, 2, 4))
+    out2 = jax.jit(discrete.rollout)(engine, seq2, x0s)
+    for b in range(2):
+        seq1 = jnp.zeros((engine.nsim, 1, 4))
+        out1 = jax.jit(discrete.rollout)(engine, seq1, x0s[b : b + 1])
+        assert int(out1.i_term[0]) == int(out2.i_term[b])
+        np.testing.assert_array_equal(
+            np.asarray(out1.ctrl_seq[:, 0]), np.asarray(out2.ctrl_seq[:, b])
+        )
+        np.testing.assert_allclose(
+            np.asarray(out1.x_true[:, 0]), np.asarray(out2.x_true[:, b]), atol=1e-6
+        )

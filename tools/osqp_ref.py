@@ -312,7 +312,9 @@ class OSQPRef:
                 den = rd_ / max(rd_rel_, 1e-10)
                 ratio = np.sqrt(num / max(den, 1e-10))
                 if ratio > self.adaptive_rho_tol or ratio < 1.0 / self.adaptive_rho_tol:
-                    new_rho = np.clip(self.rho_bar * ratio, RHO_MIN, RHO_MAX)
+                    # clamp so eq rows (rho*1e3) stay within RHO_MAX — matches
+                    # the uniform-scalar clamp of ops.admm (see there)
+                    new_rho = np.clip(self.rho_bar * ratio, RHO_MIN, RHO_MAX / RHO_EQ_SCALE)
                     if new_rho != self.rho_bar:
                         self._set_rho(new_rho)
                         self._factor()
