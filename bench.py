@@ -93,10 +93,16 @@ def main():
     key = jax.random.key(0)
     noise_seq = discrete.make_noise_sequence(engine, key, B)
 
-    roll = jax.jit(discrete.rollout)
+    # chunked dispatch: bounded per-kernel runtime (remote-attached TPUs kill
+    # very long single kernels) + per-segment progress to stderr
+    seg = int(os.environ.get("BENCH_SEG", "10"))
+
+    def progress(done, total, carry):
+        log(f"  segment {done}/{total}")
+
     t0 = time.perf_counter()
-    out = roll(engine, noise_seq)
-    jax.block_until_ready(out.i_term)
+    out = discrete.rollout_chunked(engine, noise_seq, seg=seg, progress=progress)
+    out.i_term.block_until_ready()
     compile_and_first = time.perf_counter() - t0
     log(f"first call (compile+run): {compile_and_first:.1f}s")
 
@@ -107,8 +113,8 @@ def main():
         ns = discrete.make_noise_sequence(engine, jax.random.fold_in(key, r + 1), B)
         jax.block_until_ready(ns)
         t0 = time.perf_counter()
-        out = roll(engine, ns)
-        jax.block_until_ready(out.i_term)
+        out = discrete.rollout_chunked(engine, ns, seg=seg)
+        out.i_term.block_until_ready()
         times.append(time.perf_counter() - t0)
     wall = min(times)
 

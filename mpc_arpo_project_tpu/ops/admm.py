@@ -87,6 +87,9 @@ class ADMMProblem(NamedTuple):
     Pbar: jnp.ndarray  # (nz, nz) scaled quadratic cost
     qbar: jnp.ndarray  # (nz,) or (B, nz) scaled linear cost
     A0bar: jnp.ndarray  # (m, nz) scaled base constraint matrix
+    AK: jnp.ndarray  # (4m, nz) stacked [A0bar; S1bar; S2bar; S3bar] — the
+    # scatter patterns stored as dense one-hot matrices so per-iteration
+    # corrections are MXU matmuls instead of TPU-hostile scatters
     G: jnp.ndarray  # (nz, nz) rho-proportional base of the normal matrix
     Fstack: jnp.ndarray  # (5, nz, nz) structured corrections [F1,F2,F12,F3,F33]
     rho_vec: jnp.ndarray  # (m,) base rho vector (eq rows boosted 1e3x)
@@ -211,12 +214,23 @@ def prepare_problem(
     np.add.at(G, (vx, vx), rho_f * sc1**2)
     np.add.at(G, (vy, vy), rho_f * sc2**2)
 
+    # dense one-hot scatter patterns, scaled (see ADMMProblem.AK)
+    m_rows = dims.m
+    S1b = np.zeros((m_rows, nz))
+    S1b[fr, vx] = sc1
+    S2b = np.zeros((m_rows, nz))
+    S2b[fr, vy] = sc2
+    S3b = np.zeros((m_rows, nz))
+    S3b[dr, px] = sc3
+    AK = np.concatenate([A0bar, S1b, S2b, S3b], axis=0)
+
     as_dt = lambda x: jnp.asarray(x, dtype=dtype)
     as_i = lambda x: jnp.asarray(x, dtype=jnp.int32)
     return ADMMProblem(
         Pbar=as_dt(Pbar),
         qbar=as_dt(qbar),
         A0bar=as_dt(A0bar),
+        AK=as_dt(AK),
         G=as_dt(G),
         Fstack=as_dt(np.stack([F1, F2, F12, F3, F33])),
         rho_vec=as_dt(rho),
@@ -253,29 +267,31 @@ def init_state(prob: ADMMProblem, batch: int) -> ADMMState:
 # --------------------------------------------------------------------------
 
 def _matvec_A(prob: ADMMProblem, coeffs, x):
-    """Abar_k @ x for the whole batch: shared matmul + scatter corrections.
+    """Abar_k @ x for the whole batch as ONE shared dense matmul.
+
+    Abar_k = A0bar + c1 S1bar + c2 S2bar + s S3bar with the one-hot patterns
+    stacked into AK; corrections come out of the same matmul and combine with
+    per-problem scalars (TPU scatters would serialize; matmuls ride the MXU).
     x: (B, nz) -> (B, m)."""
     c1, c2, s = coeffs
-    out = x @ prob.A0bar.T
-    fun_add = (c1[:, None] * prob.sc1) * x[:, prob.velx_cols] + (
-        c2[:, None] * prob.sc2
-    ) * x[:, prob.vely_cols]
-    deb_add = (s[:, None] * prob.sc3) * x[:, prob.posx_cols]
-    out = out.at[:, prob.fun_rows].add(fun_add)
-    out = out.at[:, prob.deb_rows].add(deb_add)
-    return out
+    m = prob.A0bar.shape[0]
+    y = x @ prob.AK.T  # (B, 4m)
+    return (
+        y[:, :m]
+        + c1[:, None] * y[:, m : 2 * m]
+        + c2[:, None] * y[:, 2 * m : 3 * m]
+        + s[:, None] * y[:, 3 * m :]
+    )
 
 
 def _matvec_AT(prob: ADMMProblem, coeffs, w):
-    """Abar_k' @ w for the whole batch. w: (B, m) -> (B, nz)."""
+    """Abar_k' @ w for the whole batch as ONE shared dense matmul:
+    A' w = [w, c1 w, c2 w, s w] @ AK. w: (B, m) -> (B, nz)."""
     c1, c2, s = coeffs
-    out = w @ prob.A0bar
-    wf = w[:, prob.fun_rows]
-    wd = w[:, prob.deb_rows]
-    out = out.at[:, prob.velx_cols].add((c1[:, None] * prob.sc1) * wf)
-    out = out.at[:, prob.vely_cols].add((c2[:, None] * prob.sc2) * wf)
-    out = out.at[:, prob.posx_cols].add((s[:, None] * prob.sc3) * wd)
-    return out
+    w4 = jnp.concatenate(
+        [w, c1[:, None] * w, c2[:, None] * w, s[:, None] * w], axis=1
+    )
+    return w4 @ prob.AK
 
 
 def _build_M(prob: ADMMProblem, coeffs, rho_scale, sigma):

@@ -471,3 +471,60 @@ def rollout(
         success=carry.succ,
         final_rho=carry.admm_state.rho_scale,
     )
+
+
+def rollout_chunked(
+    engine: DiscreteEngine,
+    noise_seq: jnp.ndarray,
+    x0b: Optional[jnp.ndarray] = None,
+    seg: int = 25,
+    progress=None,
+) -> RolloutOut:
+    """Identical semantics to :func:`rollout`, dispatched in ``seg``-step
+    segments from the host: one compiled executable reused per segment, short
+    per-dispatch device kernels (long single kernels can exceed runtime/RPC
+    limits on remote-attached TPUs), and an optional per-segment ``progress``
+    callback."""
+    T, B = noise_seq.shape[0], noise_seq.shape[1]
+    assert T == engine.nsim and T % seg == 0, (T, seg)
+    if x0b is None:
+        x0b = jnp.broadcast_to(engine.x0, (B, 4))
+
+    @jax.jit
+    def segment(carry, idx_seg, noise_seg):
+        with jax.default_matmul_precision("highest"):
+            return jax.lax.scan(
+                lambda c, x: _step(engine, c, x), carry, (idx_seg, noise_seg)
+            )
+
+    with jax.default_matmul_precision("highest"):
+        carry = _init_carry(engine, B, x0b)
+    outs = []
+    for s0 in range(0, T, seg):
+        idx = jnp.arange(s0, s0 + seg, dtype=jnp.int32)
+        carry, o = segment(carry, idx, noise_seq[s0 : s0 + seg])
+        outs.append(o)
+        if progress is not None:
+            progress(s0 + seg, T, carry)
+
+    cat = lambda xs: jnp.concatenate(xs, axis=0)
+    x_true_s, xest_s, ctrl_s, noise_s, code_s, status_s, iters_s = (
+        cat([o[k] for o in outs]) for k in range(7)
+    )
+    x_true = jnp.concatenate([x0b[None], x_true_s], axis=0)
+    xest0 = jnp.concatenate([x0b, jnp.zeros((B, 2), dtype=x0b.dtype)], axis=1)
+    x_est = jnp.concatenate([xest0[None], xest_s], axis=0)
+    ctrls = jnp.concatenate([jnp.zeros((1, B, 2), dtype=x0b.dtype), ctrl_s], axis=0)
+    noise = jnp.concatenate([noise_seq[:1], noise_s], axis=0)
+    return RolloutOut(
+        x_true=x_true,
+        x_est=x_est,
+        ctrls=ctrls,
+        noise=noise,
+        ctrl_seq=code_s,
+        status=status_s,
+        iters=iters_s,
+        i_term=carry.i_term,
+        success=carry.succ,
+        final_rho=carry.admm_state.rho_scale,
+    )

@@ -1,5 +1,6 @@
 """Reporting & animation: matplotlib report parity with the reference's figures."""
 
 from mpc_arpo_project_tpu.viz.report import figurePlotSave, simrun_from_rollout
+from mpc_arpo_project_tpu.viz.animate import animate_trajectory
 
-__all__ = ["figurePlotSave", "simrun_from_rollout"]
+__all__ = ["figurePlotSave", "simrun_from_rollout", "animate_trajectory"]
