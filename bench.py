@@ -82,10 +82,14 @@ def main():
     dev = jax.devices()[0]
     log(f"bench: device={dev.device_kind} batch={B} horizon Nx=50 T={sim.nsim} steps")
 
-    # production solver profile: max_iter capped at 1000 (failsafe engagement
-    # is identical in kind to OSQP's 4000 cap — a non-converged step falls
-    # back; statistical closed-loop behavior validated in tests)
-    settings = admm.ADMMSettings(max_iter=int(os.environ.get("BENCH_MAX_ITER", "1000")))
+    # production solver profile: the Pallas fused-chunk path with max_iter
+    # capped at 1000 (failsafe engagement is identical in kind to OSQP's 4000
+    # cap — a non-converged step falls back; closed-loop behavior validated
+    # statistically in tests)
+    settings = admm.ADMMSettings(
+        max_iter=int(os.environ.get("BENCH_MAX_ITER", "1000")),
+        solve_mode=os.environ.get("BENCH_SOLVE_MODE", "pallas"),
+    )
     t0 = time.perf_counter()
     engine = discrete.build_engine(sim, mpc, fail, debris, settings=settings, dtype=jnp.float32)
     log(f"engine build: {time.perf_counter()-t0:.1f}s (nz={engine.dims.nz} m={engine.dims.m})")

@@ -79,6 +79,13 @@ class ADMMSettings(NamedTuple):
     adaptive_rho_tol: float = 5.0
     # see prim_infeas: minimum decisively-negative support (scaled units)
     pinf_support_margin: float = 1.0
+    # 'chol': exact batched Cholesky + triangular solves (XLA; oracle-parity
+    # path). 'pallas': fused-chunk Pallas kernels with Newton-Schulz inverse
+    # maintenance (the TPU production path; see ops.admm_pallas).
+    solve_mode: str = "chol"
+    ns_warm_iters: int = 3
+    ns_cold_iters: int = 45
+    pallas_tile: int = 8
 
 
 class ADMMProblem(NamedTuple):
@@ -115,6 +122,13 @@ class ADMMState(NamedTuple):
     ybar: jnp.ndarray  # (B, m)
     zbar: jnp.ndarray  # (B, m)
     rho_scale: jnp.ndarray  # (B,) per-problem scalar multiplier on rho_vec
+    # inverse-maintenance state ('pallas' mode; (B,1,1) dummy otherwise)
+    minv: jnp.ndarray  # (B, nz, nz) approximate inverse normal matrix
+    minv_ok: jnp.ndarray  # () bool — False until the first cold start ran
+    # the (coeffs, rho) the inverse was last refreshed at: refreshes happen
+    # only when these move materially, so most control steps launch NO
+    # Newton-Schulz kernel at all
+    ref_coef: jnp.ndarray  # (B, 4): c1, c2, s, rho_scale at last refresh
 
 
 class ADMMResult(NamedTuple):
@@ -166,9 +180,18 @@ def prepare_problem(
     settings: ADMMSettings = ADMMSettings(),
     nominal_coeffs=(1.0, 1.0, 0.0),
     dtype=jnp.float32,
+    pad: bool = False,
 ) -> ADMMProblem:
     """Equilibrate once on the nominal problem and precompute the structured
-    normal-matrix pieces. Host-side float64; result cast to ``dtype``."""
+    normal-matrix pieces. Host-side float64; result cast to ``dtype``.
+
+    ``pad=True`` rounds nz up to a multiple of 128 and m to a multiple of 256
+    with inert rows/columns (zero constraint rows with l = u = 0, unit cost
+    diagonal on dummy variables) — odd dimensions (241/496) force constant
+    vector-register relayouts in the TPU kernels; aligned shapes run the MXU
+    paths at full tile width. Solutions are unchanged: padded variables decay
+    to zero and padded rows never activate. ``admm_solve`` pads incoming
+    bound vectors automatically."""
     P, q, A0 = static.P, static.q, static.A0
     # scaling computed on a representative materialized A
     A_nom = materialize_A(static, *nominal_coeffs)
@@ -222,6 +245,38 @@ def prepare_problem(
     S2b[fr, vy] = sc2
     S3b = np.zeros((m_rows, nz))
     S3b[dr, px] = sc3
+
+    if pad:
+        nz_p = -(-nz // 128) * 128
+        m_p = -(-m_rows // 256) * 256
+
+        def pad_mat(Mx, r, cdim):
+            out = np.zeros((r, cdim))
+            out[: Mx.shape[0], : Mx.shape[1]] = Mx
+            return out
+
+        def pad_vec(v, n, fill=0.0):
+            out = np.full(n, fill)
+            out[: v.shape[0]] = v
+            return out
+
+        Pbar = pad_mat(Pbar, nz_p, nz_p)
+        Pbar[nz:, nz:] = np.eye(nz_p - nz)  # unit cost diag on dummies
+        qbar = pad_vec(qbar, nz_p)
+        A0bar = pad_mat(A0bar, m_p, nz_p)
+        S1b = pad_mat(S1b, m_p, nz_p)
+        S2b = pad_mat(S2b, m_p, nz_p)
+        S3b = pad_mat(S3b, m_p, nz_p)
+        G = pad_mat(G, nz_p, nz_p)
+        F1 = pad_mat(F1, nz_p, nz_p)
+        F2 = pad_mat(F2, nz_p, nz_p)
+        F12 = pad_mat(F12, nz_p, nz_p)
+        F3 = pad_mat(F3, nz_p, nz_p)
+        F33 = pad_mat(F33, nz_p, nz_p)
+        rho = pad_vec(rho, m_p, fill=np.clip(settings.rho_bar, RHO_MIN, RHO_MAX))
+        D = pad_vec(D, nz_p, fill=1.0)
+        E = pad_vec(E, m_p, fill=1.0)
+
     AK = np.concatenate([A0bar, S1b, S2b, S3b], axis=0)
 
     as_dt = lambda x: jnp.asarray(x, dtype=dtype)
@@ -250,15 +305,21 @@ def prepare_problem(
     )
 
 
-def init_state(prob: ADMMProblem, batch: int) -> ADMMState:
+def init_state(
+    prob: ADMMProblem, batch: int, settings: ADMMSettings = ADMMSettings()
+) -> ADMMState:
     nz = prob.Pbar.shape[0]
     m = prob.A0bar.shape[0]
     dt = prob.Pbar.dtype
+    minv_shape = (batch, nz, nz) if settings.solve_mode == "pallas" else (batch, 1, 1)
     return ADMMState(
         xbar=jnp.zeros((batch, nz), dtype=dt),
         ybar=jnp.zeros((batch, m), dtype=dt),
         zbar=jnp.zeros((batch, m), dtype=dt),
         rho_scale=jnp.ones((batch,), dtype=dt),
+        minv=jnp.zeros(minv_shape, dtype=dt),
+        minv_ok=jnp.zeros((), dtype=bool),
+        ref_coef=jnp.zeros((batch, 4), dtype=dt),
     )
 
 
@@ -340,8 +401,18 @@ def _admm_solve_impl(prob, coeffs, l, u, state, settings, qbar):
     if qbar is None:
         qbar = jnp.broadcast_to(prob.qbar, (B,) + prob.qbar.shape[-1:])
 
+    # pad bounds to the problem's (possibly MXU-aligned) row count with inert
+    # l = u = 0 rows (see prepare_problem(pad=True))
+    m_prob = prob.A0bar.shape[0]
+    if l.shape[1] < m_prob:
+        padw = ((0, 0), (0, m_prob - l.shape[1]))
+        l = jnp.pad(l, padw)
+        u = jnp.pad(u, padw)
+
     lbar = prob.E * l
     ubar = prob.E * u
+    if settings.solve_mode == "pallas":
+        return _solve_pallas(prob, coeffs, lbar, ubar, state, settings, qbar)
     sigma = jnp.asarray(settings.sigma, dtype=dt)
     alpha = jnp.asarray(settings.alpha, dtype=dt)
 
@@ -522,5 +593,149 @@ def _admm_solve_impl(prob, coeffs, l, u, state, settings, qbar):
         iters=chunks * settings.check_every,
         pri_res=rp,
         dua_res=rd,
-        state=ADMMState(xbar=x, ybar=y, zbar=z, rho_scale=rho_scale),
+        state=ADMMState(xbar=x, ybar=y, zbar=z, rho_scale=rho_scale,
+                        minv=state.minv, minv_ok=state.minv_ok,
+                        ref_coef=state.ref_coef),
+    )
+
+
+def _solve_pallas(prob, coeffs, lbar, ubar, state, settings, qbar):
+    """Fused-chunk solve path: one Pallas kernel launch per check interval,
+    Newton-Schulz inverse maintenance instead of factorization (see
+    ops.admm_pallas for the rationale)."""
+    from mpc_arpo_project_tpu.ops import admm_pallas
+
+    dt = prob.Pbar.dtype
+    B = lbar.shape[0]
+    nz = prob.Pbar.shape[0]
+    m = prob.A0bar.shape[0]
+    bt = settings.pallas_tile if B % settings.pallas_tile == 0 else 1
+    c1, c2, s = coeffs
+    coef = jnp.stack([jnp.ones_like(c1), c1, c2, s], axis=1)
+    ak4 = prob.AK.reshape(4, m, nz)
+    sigma = float(settings.sigma)
+
+    def ns_refresh(minv, rho_scale, prev_ok):
+        M = _build_M(prob, coeffs, rho_scale, jnp.asarray(sigma, dtype=dt))
+        return admm_pallas.safe_inverse(
+            M, minv, prev_ok, settings.ns_warm_iters, settings.ns_cold_iters, bt=bt
+        )
+
+    # refresh only when the inverse's reference point moved materially:
+    # funnel-sign flips, >5% slope drift, rho rescale, or cold state
+    rc = state.ref_coef
+    need = (
+        (rc[:, 0] != c1)
+        | (rc[:, 1] != c2)
+        | (jnp.abs(rc[:, 2] - s) > 0.05 * (1.0 + jnp.abs(rc[:, 2])))
+        | (rc[:, 3] != state.rho_scale)
+        | ~state.minv_ok
+    )
+    minv0 = jax.lax.cond(
+        jnp.any(need),
+        lambda: ns_refresh(state.minv, state.rho_scale, ~need & state.minv_ok),
+        lambda: state.minv,
+    )
+    ref0 = jnp.where(
+        need[:, None],
+        jnp.stack([c1, c2, s, state.rho_scale], axis=1),
+        rc,
+    )
+
+    n_checks = settings.max_iter // settings.check_every
+    adapt_stride = max(1, settings.adaptive_rho_interval // settings.check_every)
+
+    def cond(carry):
+        done, chunk = carry[5], carry[7]
+        return (~jnp.all(done)) & (chunk < n_checks)
+
+    def body(carry):
+        x, y, z, _, _, done, status, chunk, minv, rho_scale = carry
+        rho = rho_scale[:, None] * prob.rho_vec
+        x_n, y_n, z_n, stats = admm_pallas.admm_chunk(
+            minv, coef, qbar, lbar, ubar, rho, x, y, z, ak4, prob.Pbar,
+            prob.Einv, prob.Dinv,
+            n_iter=settings.check_every,
+            sigma=sigma,
+            alpha=float(settings.alpha),
+            eps_pinf=float(settings.eps_pinf),
+            eps_dinf=float(settings.eps_dinf),
+            pinf_margin=float(settings.pinf_support_margin),
+            bt=bt,
+        )
+        cinv = 1.0 / prob.c
+        rp, rp_rel = stats[:, 0], stats[:, 1]
+        rd, rd_rel = cinv * stats[:, 2], cinv * stats[:, 3]
+        pinf = stats[:, 4] > 0
+        dinf = stats[:, 5] > 0
+        conv = (rp <= settings.eps_abs + settings.eps_rel * rp_rel) & (
+            rd <= settings.eps_abs + settings.eps_rel * rd_rel
+        )
+        new_status = jnp.where(
+            conv,
+            SOLVED,
+            jnp.where(pinf, PRIMAL_INFEASIBLE, jnp.where(dinf, DUAL_INFEASIBLE, UNSOLVED)),
+        ).astype(jnp.int32)
+        status = jnp.where(done, status, new_status)
+        newly_done = conv | pinf | dinf
+        keep = done[:, None]
+        x = jnp.where(keep, x, x_n)
+        y = jnp.where(keep, y, y_n)
+        z = jnp.where(keep, z, z_n)
+        done = done | newly_done
+
+        if settings.adaptive_rho:
+            num = rp / jnp.maximum(rp_rel, 1e-10)
+            den = jnp.maximum(rd / jnp.maximum(rd_rel, 1e-10), 1e-10)
+            ratio = jnp.sqrt(num / den)
+            trig = (
+                ((ratio > settings.adaptive_rho_tol)
+                 | (ratio < 1.0 / settings.adaptive_rho_tol))
+                & ~done
+                & ((chunk + 1) % adapt_stride == 0)
+            )
+            new_scale = jnp.where(trig, rho_scale * ratio, rho_scale)
+            new_scale = jnp.clip(
+                new_scale,
+                RHO_MIN / settings.rho_bar,
+                RHO_MAX / (settings.rho_bar * RHO_EQ_SCALE),
+            )
+            minv = jax.lax.cond(
+                jnp.any(trig),
+                lambda: ns_refresh(minv, new_scale, jnp.ones_like(trig)),
+                lambda: minv,
+            )
+            rho_scale = new_scale
+
+        return (x, y, z, rp, rd, done, status, chunk + 1, minv, rho_scale)
+
+    rp0 = jnp.full((B,), jnp.inf, dtype=dt)
+    carry0 = (
+        state.xbar,
+        state.ybar,
+        state.zbar,
+        rp0,
+        rp0,
+        jnp.zeros((B,), dtype=bool),
+        jnp.zeros((B,), dtype=jnp.int32),
+        jnp.zeros((), dtype=jnp.int32),
+        minv0,
+        state.rho_scale,
+    )
+    x, y, z, rp, rd, done, status, chunks, minv, rho_scale = jax.lax.while_loop(
+        cond, body, carry0
+    )
+    status = jnp.where(done, status, MAX_ITER).astype(jnp.int32)
+    # record the rho the inverse currently reflects (mid-solve adaptation
+    # refreshed it on any trigger)
+    ref_out = ref0.at[:, 3].set(rho_scale)
+    return ADMMResult(
+        x=prob.D * x,
+        status=status,
+        iters=chunks * settings.check_every,
+        pri_res=rp,
+        dua_res=rd,
+        state=ADMMState(xbar=x, ybar=y, zbar=z, rho_scale=rho_scale,
+                        minv=minv, minv_ok=jnp.ones((), dtype=bool),
+                        ref_coef=ref_out),
     )

@@ -1,0 +1,374 @@
+"""Pallas TPU kernels for the ADMM hot loop.
+
+Two kernels, designed around two measured pathologies of running this
+workload through stock XLA ops on the target TPU:
+
+  * dispatch/op overhead dominates: per-HLO-op cost is roughly constant and
+    large compared to these op sizes, so 25 ADMM iterations x ~15 ops/iter
+    of XLA graph cost two orders of magnitude more than the same math fused
+    into ONE kernel launch with everything resident in VMEM;
+  * batched Cholesky / triangular solves decompose into thousands of tiny
+    ops (seconds per control step at realistic batch sizes).
+
+Design:
+
+``admm_chunk`` — one launch runs ``n_iter`` OSQP-style iterations for the
+whole scenario batch. Grid over batch tiles of ``BT`` problems; per tile the
+per-problem inverse normal matrices (Minv), the shared stacked constraint
+matrix AK (A0bar and the three one-hot correction patterns — see ops.admm),
+the shared scaled cost Pbar and all iterate vectors live in VMEM for the whole
+chunk (~4.3 MB/tile). The linear solve is a per-problem matvec with Minv —
+no factorization in the hot path. The kernel also computes the OSQP
+termination residuals and primal/dual infeasibility certificates in-kernel,
+so the surrounding while-loop needs only O(1) cheap XLA ops per chunk.
+
+``newton_schulz_inverse`` — maintains Minv across control steps without any
+XLA decomposition: X <- X (2I - M X), quadratically convergent, warm-started
+from the previous step's inverse (the normal matrix changes little between
+steps); a cold-start init X0 = M' / (||M||_1 ||M||_inf) guarantees
+convergence from scratch. Per tile, all iterations stay in VMEM.
+
+The inverse-based solve is inexact at fp32 (it acts like a slightly
+perturbed KKT solve); termination residuals are computed from the true
+matrices, so convergence declarations stay honest. CPU tests run both kernels
+in interpret mode and the oracle-parity suite keeps using the exact
+Cholesky path ('xla' mode).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _interpret_default() -> bool:
+    try:
+        return jax.devices()[0].platform == "cpu"
+    except Exception:  # pragma: no cover
+        return True
+
+
+# ---------------------------------------------------------------------------
+# Newton-Schulz batched inverse
+# ---------------------------------------------------------------------------
+
+def _ns_kernel(m_ref, x_ref, out_ref, res_ref, *, n_iter: int, nz: int, bt: int):
+    resids = []
+    for p in range(bt):
+        M = m_ref[p]
+        X = x_ref[p]
+        pt = M.dtype
+        I2 = 2.0 * jnp.eye(nz, dtype=pt)
+
+        def body(_, Xc):
+            MX = jnp.dot(M, Xc, preferred_element_type=pt)
+            return jnp.dot(Xc, I2 - MX, preferred_element_type=pt)
+
+        Xf = jax.lax.fori_loop(0, n_iter, body, X)
+        out_ref[p] = Xf
+        # inverse-quality diagnostic: ||I - M X||_inf
+        MX = jnp.dot(M, Xf, preferred_element_type=pt)
+        resids.append(jnp.max(jnp.abs(0.5 * I2 - MX)).reshape(1, 1))
+    # Mosaic cannot store scalars to VMEM: write the whole (bt, 1) block
+    res_ref[:, :] = jnp.concatenate(resids, axis=0)
+
+
+def newton_schulz_inverse(M, X0, n_iter: int = 4, bt: int = 8, interpret=None):
+    """Batched inverse refinement: X <- X(2I - MX), ``n_iter`` times.
+
+    M, X0: (B, nz, nz). Returns (X, residual) with residual (B,) the
+    per-problem ||I - M X||_inf quality diagnostic.
+    """
+    if interpret is None:
+        interpret = _interpret_default()
+    B, nz, _ = M.shape
+    assert B % bt == 0, (B, bt)
+    kern = functools.partial(_ns_kernel, n_iter=n_iter, nz=nz, bt=bt)
+    X, res = pl.pallas_call(
+        kern,
+        grid=(B // bt,),
+        in_specs=[
+            pl.BlockSpec((bt, nz, nz), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bt, nz, nz), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((bt, nz, nz), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bt, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, nz, nz), M.dtype),
+            jax.ShapeDtypeStruct((B, 1), M.dtype),
+        ),
+        interpret=interpret,
+    )(M, X0)
+    return X, res[:, 0]
+
+
+def safe_inverse(M, X_prev, prev_ok, warm_iters: int, cold_iters: int, bt: int = 8):
+    """Warm-refresh the inverse; selectively cold-restart problems whose
+    refreshed residual is bad (large M changes — rho jumps, sign flips — put
+    the warm start outside Newton-Schulz's convergence basin)."""
+    Xw, r = newton_schulz_inverse(M, X_prev, n_iter=warm_iters, bt=bt)
+    bad = (~prev_ok) | (r > 1e-2) | ~jnp.isfinite(r)
+
+    def cold():
+        Xc, _ = newton_schulz_inverse(M, cold_start_inverse(M), n_iter=cold_iters, bt=bt)
+        return Xc
+
+    Xc = jax.lax.cond(jnp.any(bad), cold, lambda: Xw)
+    return jnp.where(bad[:, None, None], Xc, Xw)
+
+
+def cold_start_inverse(M):
+    """X0 = M' / (||M||_1 ||M||_inf): spectral-radius-safe NS initialization."""
+    n1 = jnp.abs(M).sum(axis=-2).max(axis=-1)  # max column sum
+    ninf = jnp.abs(M).sum(axis=-1).max(axis=-1)  # max row sum
+    return jnp.swapaxes(M, -1, -2) / (n1 * ninf)[:, None, None]
+
+
+# ---------------------------------------------------------------------------
+# fused ADMM chunk
+# ---------------------------------------------------------------------------
+
+def _chunk_kernel(
+    # per-tile inputs
+    minv_ref,  # (BT, nz, nz)
+    coef_ref,  # (BT, 4)  [1, c1, c2, s]
+    qbar_ref,  # (BT, nz)
+    lbar_ref,  # (BT, m)
+    ubar_ref,  # (BT, m)
+    rho_ref,  # (BT, m)
+    x_ref,  # (BT, nz) in
+    y_ref,  # (BT, m) in
+    z_ref,  # (BT, m) in
+    uinf_ref,  # (BT, m) f32 mask: 1 where ubar infinite
+    linf_ref,  # (BT, m) f32 mask: 1 where lbar infinite
+    ucap_ref,  # (BT, m) ubar with inf replaced by 0
+    lcap_ref,  # (BT, m) lbar with -inf replaced by 0
+    # shared inputs
+    ak_ref,  # (4, m, nz)
+    pbar_ref,  # (nz, nz)
+    einv_ref,  # (1, m)
+    dinv_ref,  # (1, nz)
+    # outputs
+    xo_ref,  # (BT, nz)
+    yo_ref,  # (BT, m)
+    zo_ref,  # (BT, m)
+    stat_ref,  # (BT, 8): rp, rp_rel, rd, rd_rel, pinf, dinf, nv_dy, nv_dx
+    *,
+    n_iter: int,
+    sigma: float,
+    alpha: float,
+    eps_pinf: float,
+    eps_dinf: float,
+    pinf_margin: float,
+    bt: int,
+):
+    f32 = x_ref.dtype  # accumulate in the working precision (f32 or f64)
+
+    def matvec_A(x):  # (BT, nz) -> (BT, m)
+        acc = None
+        for k in range(4):
+            part = jnp.dot(x, ak_ref[k].T, preferred_element_type=f32)
+            part = coef_ref[:, k][:, None] * part
+            acc = part if acc is None else acc + part
+        return acc
+
+    def matvec_AT(w):  # (BT, m) -> (BT, nz)
+        acc = None
+        for k in range(4):
+            part = jnp.dot(coef_ref[:, k][:, None] * w, ak_ref[k],
+                           preferred_element_type=f32)
+            acc = part if acc is None else acc + part
+        return acc
+
+    def solve_M(rhs):  # (BT, nz) -> (BT, nz); Minv is symmetric
+        outs = []
+        for p in range(bt):
+            outs.append(jnp.dot(rhs[p][None, :], minv_ref[p],
+                                preferred_element_type=f32))
+        return jnp.concatenate(outs, axis=0)
+
+    def body(i, carry):
+        x, y, z, _, _ = carry
+        rho = rho_ref[:, :]
+        rhs = sigma * x - qbar_ref[:, :] + matvec_AT(rho * z - y)
+        xt = solve_M(rhs)
+        zt = matvec_A(xt)
+        x_n = alpha * xt + (1.0 - alpha) * x
+        z_tmp = alpha * zt + (1.0 - alpha) * z
+        z_n = jnp.clip(z_tmp + y / rho, lbar_ref[:, :], ubar_ref[:, :])
+        y_n = y + rho * (z_tmp - z_n)
+        return (x_n, y_n, z_n, x_n - x, y_n - y)
+
+    x0 = x_ref[:, :]
+    y0 = y_ref[:, :]
+    z0 = z_ref[:, :]
+    zeros_x = jnp.zeros_like(x0)
+    zeros_y = jnp.zeros_like(y0)
+    x, y, z, dx, dy = jax.lax.fori_loop(
+        0, n_iter, body, (x0, y0, z0, zeros_x, zeros_y)
+    )
+    xo_ref[:, :] = x
+    yo_ref[:, :] = y
+    zo_ref[:, :] = z
+
+    # ---- residuals (unscaled), as in ops.admm.residuals
+    einv = einv_ref[0, :]
+    dinv = dinv_ref[0, :]
+    Ax = matvec_A(x)
+    rp = jnp.max(jnp.abs(einv * (Ax - z)), axis=1)
+    rp_rel = jnp.maximum(
+        jnp.max(jnp.abs(einv * Ax), axis=1), jnp.max(jnp.abs(einv * z), axis=1)
+    )
+    # NOTE: rd/rd_rel are emitted WITHOUT the 1/c cost-unscaling factor —
+    # the caller applies it (c is a traced array under jit)
+    Px = jnp.dot(x, pbar_ref[:, :], preferred_element_type=f32)
+    Aty = matvec_AT(y)
+    rd = jnp.max(jnp.abs(dinv * (Px + qbar_ref[:, :] + Aty)), axis=1)
+    rd_rel = jnp.maximum(
+        jnp.max(jnp.abs(dinv * Px), axis=1),
+        jnp.maximum(
+            jnp.max(jnp.abs(dinv * Aty), axis=1),
+            jnp.max(jnp.abs(dinv * qbar_ref[:, :]), axis=1),
+        ),
+    )
+
+    # ---- primal infeasibility certificate (scaled space; see ops.admm).
+    # Float-mask arithmetic throughout: Mosaic cannot lower wide boolean
+    # vector selects (i8->i1 truncation), so the recession-cone projection
+    # and support sums are expressed with precomputed f32 masks and capped
+    # bounds (projection zeroes v on infinite-bound rows, so the capped
+    # bounds give the exact support sum with no inf*0 terms).
+    uinf = uinf_ref[:, :]
+    linf = linf_ref[:, :]
+    both = uinf * linf
+    uo = uinf * (1.0 - linf)
+    lo = linf * (1.0 - uinf)
+    v = dy * (1.0 - both)
+    v = v * (1.0 - uo) + jnp.minimum(v, 0.0) * uo
+    v = v * (1.0 - lo) + jnp.maximum(v, 0.0) * lo
+    nv = jnp.max(jnp.abs(v), axis=1)
+    Atv = matvec_AT(v)
+    atv_n = jnp.max(jnp.abs(Atv), axis=1)
+    sup = (ucap_ref[:, :] * jnp.maximum(v, 0.0)).sum(axis=1) + (
+        lcap_ref[:, :] * jnp.minimum(v, 0.0)
+    ).sum(axis=1)
+    thresh = max(eps_pinf, pinf_margin)
+    pinf = (
+        jnp.maximum(jnp.sign(eps_pinf * nv - atv_n), 0.0)
+        * jnp.maximum(jnp.sign(-thresh * nv - sup), 0.0)
+        * jnp.maximum(jnp.sign(nv - eps_pinf), 0.0)
+    )
+
+    # ---- dual infeasibility certificate (same float-mask style)
+    nvx = jnp.max(jnp.abs(dx), axis=1)
+    Pdx = jnp.dot(dx, pbar_ref[:, :], preferred_element_type=f32)
+    pdx_n = jnp.max(jnp.abs(Pdx), axis=1)
+    qv = (qbar_ref[:, :] * dx).sum(axis=1)
+    Adx = matvec_A(dx)
+    eps_b = eps_dinf * nvx[:, None]
+    up_viol = (jnp.maximum(Adx - eps_b, 0.0) * (1.0 - uinf)).max(axis=1)
+    lo_viol = (jnp.maximum(-eps_b - Adx, 0.0) * (1.0 - linf)).max(axis=1)
+    # up/lo violations are >= 0; ok iff exactly zero
+    dinf = (
+        jnp.maximum(jnp.sign(eps_dinf * nvx - pdx_n), 0.0)
+        * jnp.maximum(jnp.sign(-eps_dinf * nvx - qv), 0.0)
+        * (1.0 - jnp.sign(up_viol))
+        * (1.0 - jnp.sign(lo_viol))
+        * jnp.maximum(jnp.sign(nvx - eps_dinf), 0.0)
+    )
+
+    # single full-block store (Mosaic rejects scalar/column writes to VMEM)
+    stat_ref[:, :] = jnp.stack(
+        [rp, rp_rel, rd, rd_rel, pinf.astype(f32), dinf.astype(f32), nv, nvx],
+        axis=1,
+    )
+
+
+def admm_chunk(
+    minv, coef, qbar, lbar, ubar, rho, x, y, z, ak4, pbar, einv, dinv,
+    *,
+    n_iter: int,
+    sigma: float,
+    alpha: float,
+    eps_pinf: float,
+    eps_dinf: float,
+    pinf_margin: float,
+    bt: int = 8,
+    interpret=None,
+):
+    """Run ``n_iter`` fused ADMM iterations + termination diagnostics.
+
+    Shapes: minv (B,nz,nz); coef (B,4); qbar/x (B,nz); lbar/ubar/rho/y/z (B,m);
+    ak4 (4,m,nz); pbar (nz,nz); einv (m,); dinv (nz,).
+    Returns (x, y, z, stats) with stats (B, 8).
+    """
+    if interpret is None:
+        interpret = _interpret_default()
+    B, nz = x.shape
+    m = y.shape[1]
+    assert B % bt == 0, (B, bt)
+    kern = functools.partial(
+        _chunk_kernel,
+        n_iter=n_iter,
+        sigma=float(sigma),
+        alpha=float(alpha),
+        eps_pinf=float(eps_pinf),
+        eps_dinf=float(eps_dinf),
+        pinf_margin=float(pinf_margin),
+        bt=bt,
+    )
+    # float masks / capped bounds for the in-kernel certificates (see kernel)
+    uinf = (~jnp.isfinite(ubar)).astype(x.dtype)
+    linf = (~jnp.isfinite(lbar)).astype(x.dtype)
+    ucap = jnp.where(jnp.isfinite(ubar), ubar, 0.0)
+    lcap = jnp.where(jnp.isfinite(lbar), lbar, 0.0)
+    tile = lambda *shape: pl.BlockSpec(shape, lambda i: (i,) + (0,) * (len(shape) - 1),
+                                       memory_space=pltpu.VMEM)
+    shared = lambda *shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape),
+                                         memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        kern,
+        grid=(B // bt,),
+        in_specs=[
+            tile(bt, nz, nz),  # minv
+            tile(bt, 4),  # coef
+            tile(bt, nz),  # qbar
+            tile(bt, m),  # lbar
+            tile(bt, m),  # ubar
+            tile(bt, m),  # rho
+            tile(bt, nz),  # x
+            tile(bt, m),  # y
+            tile(bt, m),  # z
+            tile(bt, m),  # uinf
+            tile(bt, m),  # linf
+            tile(bt, m),  # ucap
+            tile(bt, m),  # lcap
+            shared(4, m, nz),  # ak4
+            shared(nz, nz),  # pbar
+            shared(1, m),  # einv
+            shared(1, nz),  # dinv
+        ],
+        out_specs=(
+            tile(bt, nz),
+            tile(bt, m),
+            tile(bt, m),
+            tile(bt, 8),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, nz), x.dtype),
+            jax.ShapeDtypeStruct((B, m), y.dtype),
+            jax.ShapeDtypeStruct((B, m), z.dtype),
+            jax.ShapeDtypeStruct((B, 8), x.dtype),
+        ),
+        interpret=interpret,
+    )(minv, coef, qbar, lbar, ubar, rho, x, y, z, uinf, linf, ucap, lcap,
+      ak4, pbar, einv.reshape(1, -1), dinv.reshape(1, -1))
+    return out

@@ -306,6 +306,9 @@ def _tick(engine: ContinuousEngine, carry: _CCarry, tick_in, noise_draws, subste
             ybar=keep(res.state.ybar, carry.admm_state.ybar),
             zbar=keep(res.state.zbar, carry.admm_state.zbar),
             rho_scale=keep(res.state.rho_scale, carry.admm_state.rho_scale),
+            minv=keep(res.state.minv, carry.admm_state.minv),
+            minv_ok=res.state.minv_ok,
+            ref_coef=keep(res.state.ref_coef, carry.admm_state.ref_coef),
         ),
         alive=alive,
         i_term_sub=i_term_sub,

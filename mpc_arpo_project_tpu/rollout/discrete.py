@@ -127,7 +127,9 @@ def build_engine(
         sim, debris, np.concatenate([sim.x0, [0.0, 0.0]])
     )
     prob = admm.prepare_problem(
-        static, dims, settings, nominal_coeffs=(c1_0, c2_0, -s0), dtype=dtype
+        static, dims, settings, nominal_coeffs=(c1_0, c2_0, -s0), dtype=dtype,
+        # MXU-aligned padding for the Pallas kernels (see prepare_problem)
+        pad=(settings.solve_mode == "pallas"),
     )
 
     Ao = np.zeros((6, 6))
@@ -266,7 +268,7 @@ def _init_carry(engine: DiscreteEngine, batch: int, x0b: jnp.ndarray) -> _Carry:
         c1=dyn.c1,
         c2=dyn.c2,
         s=dyn.s,
-        admm_state=admm.init_state(engine.prob, batch),
+        admm_state=admm.init_state(engine.prob, batch, engine.settings),
         alive=jnp.ones((batch,), dtype=bool),
         i_term=jnp.full((batch,), engine.nsim, dtype=jnp.int32),
         succ=jnp.zeros((batch,), dtype=bool),
@@ -411,6 +413,9 @@ def _step(engine: DiscreteEngine, carry: _Carry, step_in):
             ybar=keep(res.state.ybar, carry.admm_state.ybar),
             zbar=keep(res.state.zbar, carry.admm_state.zbar),
             rho_scale=keep(res.state.rho_scale, carry.admm_state.rho_scale),
+            minv=keep(res.state.minv, carry.admm_state.minv),
+            minv_ok=res.state.minv_ok,
+            ref_coef=keep(res.state.ref_coef, carry.admm_state.ref_coef),
         ),
         alive=alive,
         i_term=i_term,

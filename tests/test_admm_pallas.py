@@ -1,0 +1,127 @@
+"""Pallas solve-path tests (interpret mode on CPU): the fused-chunk +
+Newton-Schulz path must reproduce the exact Cholesky path, warm-start across
+solves, recover from rho jumps / coefficient flips via the safe-inverse
+fallback, and detect infeasibility."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from mpc_arpo_project_tpu.config import SimConditions, MPCParams, FailsafeParams, Debris
+from mpc_arpo_project_tpu.ops import admm, admm_pallas, constraints
+from mpc_arpo_project_tpu.ops.qp_builder import QPDims, build_qp
+from tools.ref_sim import discretize_np, synth_gains_np
+
+
+@pytest.fixture(scope="module")
+def setup():
+    v_ecr = 50000.0 * np.ones(5)
+    v_ecr[-2] *= -1
+    v_ecr[-1] = 0.0
+    mpc = MPCParams(
+        8e2 * np.diag([0.2**2, 10**2, 3.8**2, 900.0]),
+        1000**2 * np.eye(2),
+        5**2 * np.eye(5),
+        v_ecr,
+        {"Nx": 40, "Nc": 5, "Nb": 5},
+        (0.2, 0.2),
+    )
+    fail = FailsafeParams(
+        0.005 * np.diag([0.0001, 1, 100000.0, 1.0, 0.01]), 100 * np.eye(2),
+        np.eye(1, 4), np.zeros((2, 2)),
+    )
+    sim = SimConditions(
+        np.array([100.0, 10.0, 0.0, 0.0]), np.array([2.5, 0.0, 0.0, 0.0]), 2.5,
+        10 * np.pi / 180, 1.5, 1.107e-3, 0.5, True, (0.2, 45.0), None, False,
+        T_final=150.0,
+    )
+    debris = Debris((40.0, 0.0), 5.0, 20.0)
+    Ad, Bd = discretize_np(sim.mean_mtn, sim.time_stp, False)
+    K, QN, *_ = synth_gains_np(Ad, Bd, mpc, fail)
+    dims = QPDims(Nx=mpc.Nx, Nc=mpc.Nc, Nb=mpc.Nb)
+    static = build_qp(dims, sim, mpc, Ad, Bd, K, QN)
+    geom = constraints.make_geometry(sim, debris)
+    xe = jnp.asarray(np.concatenate([sim.x0, [0.0, 0.0]]))
+    dyn = constraints.configure(geom, xe)
+    lineq, uineq = constraints.assemble_bounds(
+        dyn, xe, dims, jnp.asarray(static.umin), jnp.asarray(static.umax),
+        geom.is_reject,
+    )
+    leq = jnp.asarray(static.leq)
+    l = jnp.concatenate([leq, lineq])
+    u = jnp.concatenate([leq, uineq])
+    prob = admm.prepare_problem(
+        static, dims, nominal_coeffs=(float(dyn.c1), float(dyn.c2), float(dyn.s)),
+        dtype=jnp.float64,
+    )
+    B = 8
+    coeffs = (jnp.full(B, dyn.c1), jnp.full(B, dyn.c2), jnp.full(B, dyn.s))
+    lB = jnp.tile(l[None], (B, 1))
+    uB = jnp.tile(u[None], (B, 1))
+    return dict(prob=prob, dims=dims, coeffs=coeffs, l=lB, u=uB, B=B)
+
+
+def test_pallas_matches_chol_exactly(setup):
+    p = setup
+    st_c = admm.ADMMSettings(solve_mode="chol")
+    st_p = admm.ADMMSettings(solve_mode="pallas")
+    rc = admm.admm_solve(p["prob"], p["coeffs"], p["l"], p["u"],
+                         admm.init_state(p["prob"], p["B"], st_c), st_c)
+    rp = admm.admm_solve(p["prob"], p["coeffs"], p["l"], p["u"],
+                         admm.init_state(p["prob"], p["B"], st_p), st_p)
+    assert int(rc.iters) == int(rp.iters)
+    np.testing.assert_array_equal(np.asarray(rc.status), np.asarray(rp.status))
+    np.testing.assert_allclose(np.asarray(rc.x), np.asarray(rp.x), atol=1e-9)
+
+
+def test_pallas_warm_start_and_minv_carry(setup):
+    p = setup
+    st_p = admm.ADMMSettings(solve_mode="pallas")
+    r1 = admm.admm_solve(p["prob"], p["coeffs"], p["l"], p["u"],
+                         admm.init_state(p["prob"], p["B"], st_p), st_p)
+    l2 = p["l"].at[:, :4].add(-0.01)
+    u2 = p["u"].at[:, :4].add(-0.01)
+    r2 = admm.admm_solve(p["prob"], p["coeffs"], l2, u2, r1.state, st_p)
+    assert int(r2.iters) < int(r1.iters)
+    assert np.all(np.asarray(r2.status) == admm.SOLVED)
+
+
+def test_safe_inverse_recovers_from_coefficient_flip(setup):
+    """Flipping the funnel signs changes M substantially; the warm NS refresh
+    alone would diverge — the residual-checked fallback must cold restart."""
+    p = setup
+    st_p = admm.ADMMSettings(solve_mode="pallas")
+    r1 = admm.admm_solve(p["prob"], p["coeffs"], p["l"], p["u"],
+                         admm.init_state(p["prob"], p["B"], st_p), st_p)
+    c1, c2, s = p["coeffs"]
+    flipped = (-c1, -c2, s)
+    r2 = admm.admm_solve(p["prob"], flipped, p["l"], p["u"], r1.state, st_p)
+    # must not blow up: statuses decided, solution finite
+    assert np.isfinite(np.asarray(r2.x)).all()
+    st = np.asarray(r2.status)
+    assert ((st == admm.SOLVED) | (st == admm.PRIMAL_INFEASIBLE)
+            | (st == admm.MAX_ITER)).all()
+
+
+def test_pallas_infeasibility(setup):
+    p = setup
+    dims = p["dims"]
+    st_p = admm.ADMMSettings(solve_mode="pallas")
+    l3 = np.asarray(p["l"]).copy()
+    for j in range(dims.Nb + 1):
+        l3[:, dims.n_eq + j * 5 + 4] = 1e3
+    r = admm.admm_solve(p["prob"], p["coeffs"], jnp.asarray(l3), p["u"],
+                        admm.init_state(p["prob"], p["B"], st_p), st_p)
+    assert np.all(np.asarray(r.status) == admm.PRIMAL_INFEASIBLE)
+
+
+def test_newton_schulz_inverse_quality(setup):
+    p = setup
+    M = admm._build_M(p["prob"], p["coeffs"], jnp.ones(p["B"]), jnp.float64(1e-6))
+    X0 = admm_pallas.cold_start_inverse(M)
+    X, res = admm_pallas.newton_schulz_inverse(M, X0, n_iter=45)
+    assert float(res.max()) < 1e-10
+    I = np.eye(M.shape[1])
+    err = np.abs(I - np.asarray(M[0]) @ np.asarray(X[0])).max()
+    assert err < 1e-10
