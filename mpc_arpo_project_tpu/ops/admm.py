@@ -85,7 +85,7 @@ class ADMMSettings(NamedTuple):
     solve_mode: str = "chol"
     ns_warm_iters: int = 3
     ns_cold_iters: int = 45
-    pallas_tile: int = 8
+    pallas_tile: int = 4
 
 
 class ADMMProblem(NamedTuple):

@@ -79,7 +79,7 @@ def _ns_kernel(m_ref, x_ref, out_ref, res_ref, *, n_iter: int, nz: int, bt: int)
     res_ref[:, :] = jnp.concatenate(resids, axis=0)
 
 
-def newton_schulz_inverse(M, X0, n_iter: int = 4, bt: int = 8, interpret=None):
+def newton_schulz_inverse(M, X0, n_iter: int = 4, bt: int = 4, interpret=None):
     """Batched inverse refinement: X <- X(2I - MX), ``n_iter`` times.
 
     M, X0: (B, nz, nz). Returns (X, residual) with residual (B,) the
@@ -110,7 +110,7 @@ def newton_schulz_inverse(M, X0, n_iter: int = 4, bt: int = 8, interpret=None):
     return X, res[:, 0]
 
 
-def safe_inverse(M, X_prev, prev_ok, warm_iters: int, cold_iters: int, bt: int = 8):
+def safe_inverse(M, X_prev, prev_ok, warm_iters: int, cold_iters: int, bt: int = 4):
     """Warm-refresh the inverse; selectively cold-restart problems whose
     refreshed residual is bad (large M changes — rho jumps, sign flips — put
     the warm start outside Newton-Schulz's convergence basin)."""
@@ -301,7 +301,7 @@ def admm_chunk(
     eps_pinf: float,
     eps_dinf: float,
     pinf_margin: float,
-    bt: int = 8,
+    bt: int = 4,
     interpret=None,
 ):
     """Run ``n_iter`` fused ADMM iterations + termination diagnostics.

@@ -37,10 +37,33 @@ def merwe_weights(n: int, alpha: float, beta: float, kappa: float, dtype=jnp.flo
     return MerweWeights(Wm=Wm, Wc=Wc, lam=jnp.asarray(lam, dtype=dtype))
 
 
+def _chol_unrolled(A: jnp.ndarray) -> jnp.ndarray:
+    """Lower Cholesky of a small SPD matrix via statically unrolled
+    Cholesky-Banachiewicz. XLA's generic decomposition lowers to a large
+    op graph that both compiles and dispatches slowly on the target TPU
+    backend; for the UKF's 6x6 this is ~40 fused scalar ops instead."""
+    n = A.shape[0]
+    L = [[None] * n for _ in range(n)]
+    for i in range(n):
+        for j in range(i + 1):
+            s = A[i, j]
+            for k in range(j):
+                s = s - L[i][k] * L[j][k]
+            if i == j:
+                L[i][j] = jnp.sqrt(s)
+            else:
+                L[i][j] = s / L[j][j]
+    rows = [
+        jnp.stack([L[i][j] if j <= i else jnp.zeros((), A.dtype) for j in range(n)])
+        for i in range(n)
+    ]
+    return jnp.stack(rows)
+
+
 def sigma_points(x: jnp.ndarray, P: jnp.ndarray, lam) -> jnp.ndarray:
     """(2n+1, n) Merwe sigma points; offsets are columns of chol_lower((n+lam)P)."""
     n = x.shape[0]
-    L = jnp.linalg.cholesky((n + lam) * P)
+    L = _chol_unrolled((n + lam) * P)
     U = L.T  # rows of U == filterpy's rows of scipy's upper factor
     return jnp.concatenate([x[None, :], x[None, :] + U, x[None, :] - U], axis=0)
 
@@ -77,7 +100,13 @@ def update(
     S = (dz * w.Wc[:, None]).T @ dz + R
     dx = sig_f - prior.x[None, :]
     Pxz = (dx * w.Wc[:, None]).T @ dz
-    K = Pxz @ jnp.linalg.inv(S)
+    # closed-form 2x2 inverse (see _chol_unrolled for why not jnp.linalg.inv)
+    det = S[0, 0] * S[1, 1] - S[0, 1] * S[1, 0]
+    S_inv = (
+        jnp.stack([jnp.stack([S[1, 1], -S[0, 1]]), jnp.stack([-S[1, 0], S[0, 0]])])
+        / det
+    )
+    K = Pxz @ S_inv
     x_post = prior.x + K @ (z - z_pred)
     P_post = prior.P - K @ S @ K.T
     return UKFState(x=x_post, P=P_post)
