@@ -15,23 +15,25 @@ TPU-native design (algorithm per Stellato et al., arXiv:1711.08013):
   M = P + sigma*I + A' diag(rho) A differs per scenario only through those
   scalars, so M_k = (Pbar + sigma I) + theta_k * (G + c1*F1 + c2*F2 +
   c1*c2*F12 + s*F3 + s^2*F33) with five fixed precomputed matrices
-  (c1^2 = c2^2 = 1 terms folded into G). Batched Cholesky factors it once per
-  control step; iterations reuse the factor.
+  (c1^2 = c2^2 = 1 terms folded into G) — no per-scenario assembly, ever.
+
+* **Two solve paths** (``settings.solve_mode``): 'chol' — batched Cholesky
+  once per step + triangular solves per iteration (exact; the CPU/oracle
+  parity path); 'pallas' — fused-chunk TPU kernels with Newton-Schulz
+  inverse maintenance and no decompositions anywhere (see ops.admm_pallas).
 
 * **Static shapes, masked convergence.** A ``lax.while_loop`` runs blocks of
   ``check_every`` iterations; per-problem ``done`` masks freeze converged /
   infeasible problems, reproducing OSQP's termination + primal/dual
   infeasibility certificates (which drive the reference's failsafe switching,
-  `trajectorySimulate.py:299-314`).
+  `trajectorySimulate.py:299-314`). Adaptive rho triggers mid-solve at
+  OSQP's default 50-iteration cadence (deterministic iteration counts where
+  OSQP's trigger is wall-clock-based) with a masked batched refactor/refresh.
 
-* **Ruiz equilibration** is computed once on the nominal problem and shared:
-  scaling is a preconditioner, so sharing it keeps all matrices batch-shared
-  while preserving exactness of the solution.
-
-Adaptive rho differs from OSQP in one documented way: the scalar rho scale is
-updated *between* solves (where the factorization is rebuilt anyway because A
-changed) rather than mid-solve. Within a closed loop this tracks OSQP's
-behavior closely while keeping the iteration graph branch-free.
+* **Ruiz equilibration** is computed once on the initial-state problem —
+  exactly when the reference's OSQP setup computes it — and shared: scaling
+  is a preconditioner, so sharing it keeps all matrices batch-shared while
+  preserving exactness of the solution.
 """
 
 from __future__ import annotations

@@ -32,7 +32,7 @@ The inverse-based solve is inexact at fp32 (it acts like a slightly
 perturbed KKT solve); termination residuals are computed from the true
 matrices, so convergence declarations stay honest. CPU tests run both kernels
 in interpret mode and the oracle-parity suite keeps using the exact
-Cholesky path ('xla' mode).
+Cholesky path (solve_mode='chol').
 """
 
 from __future__ import annotations

@@ -88,20 +88,20 @@ def test_sweep_checkpoint_resume(tmp_path):
     key = jax.random.key(7)
     ck = str(tmp_path / "sweep.json")
 
-    full = mc.run_sweep(engine, total=32, chunk=8, key=key, checkpoint_path=None)
+    full = mc.run_sweep(engine, total=16, chunk=8, key=key, checkpoint_path=None)
 
-    # run two chunks, simulate crash, resume
+    # run both chunks with a checkpoint, then verify resume is a no-op with
+    # identical accumulated results
     ck2 = str(tmp_path / "sweep2.json")
-    mc.run_sweep(engine, total=16, chunk=8, key=key, checkpoint_path=ck2)
+    partial = mc.run_sweep(engine, total=16, chunk=8, key=key, checkpoint_path=ck2)
     with open(ck2) as fh:
         state = json.load(fh)
     assert state["next_chunk"] == 2
-    # resuming a finished sweep is a no-op with identical results
     res2 = mc.run_sweep(engine, total=16, chunk=8, key=key, checkpoint_path=ck2)
 
-    partial = mc.run_sweep(engine, total=32, chunk=8, key=key, checkpoint_path=ck)
-    assert partial["n"] == full["n"] == 32
+    assert partial["n"] == full["n"] == 16
     np.testing.assert_allclose(partial["mean_final_dist"], full["mean_final_dist"], rtol=1e-9)
+    np.testing.assert_allclose(res2["mean_final_dist"], full["mean_final_dist"], rtol=1e-9)
     assert res2["n"] == 16
 
 
