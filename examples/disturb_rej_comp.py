@@ -18,6 +18,7 @@ def main():
     ap.add_argument("--runs", type=int, default=100, help="MC runs per noise length")
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--quick", action="store_true", help="3 noise lengths, short horizon")
+    ap.add_argument("--max-iter", type=int, default=1000)
     args = ap.parse_args()
 
     import jax
@@ -42,10 +43,13 @@ def main():
 
     noise_lengths = [10.0, 50.0, 150.0] if args.quick else [1.0, 10.0, 20.0, 30.0, 50.0, 70.0, 100.0, 150.0, 200.0, 250.0]
 
+    from mpc_arpo_project_tpu.ops import admm
+
     dtype = jnp.float64 if args.cpu else jnp.float32
     nls, ratios = mc.disturbance_rejection_study(
         sim_norej, sim_rej, mpc, fail, debris, noise_lengths, args.runs,
         jax.random.key(0), dtype=dtype,
+        settings=admm.ADMMSettings(max_iter=args.max_iter),
     )
     for nl, r in zip(nls, ratios):
         print(f"noise_length={nl:6.0f} steps ({nl * sim_rej.time_stp:6.1f}s): "
