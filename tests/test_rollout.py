@@ -182,3 +182,22 @@ def test_delta_v_discrete_rollout():
     d0 = np.linalg.norm(xt[0] - [2.5, 0.0])
     dmin = np.linalg.norm(xt - [2.5, 0.0], axis=1).min()
     assert dmin < 0.5 * d0
+
+
+def test_chunked_rollout_matches_monolithic():
+    """rollout_chunked (segment-wise dispatch) must produce identical results
+    to the single-scan rollout."""
+    sim, mpc, fail, debris = _configs(True, T_final=25.0)
+    from mpc_arpo_project_tpu.ops import admm as admm_mod
+
+    engine = discrete.build_engine(
+        sim, mpc, fail, debris, settings=admm_mod.ADMMSettings(max_iter=500),
+        dtype=jnp.float64,
+    )
+    noise = discrete.make_noise_sequence(engine, jax.random.key(5), 2)
+    a = jax.tree.map(np.asarray, jax.jit(discrete.rollout)(engine, noise))
+    b = jax.tree.map(np.asarray, discrete.rollout_chunked(engine, noise, seg=10))
+    np.testing.assert_array_equal(a.i_term, b.i_term)
+    np.testing.assert_array_equal(a.ctrl_seq, b.ctrl_seq)
+    np.testing.assert_allclose(a.x_true, b.x_true, atol=1e-9)
+    np.testing.assert_array_equal(a.success, b.success)
