@@ -54,21 +54,38 @@ def _final_distance(out: discrete.RolloutOut, xr: jnp.ndarray) -> jnp.ndarray:
     return jnp.linalg.norm(xf - xr[None, :], axis=1)
 
 
-def chunk_stats(engine: discrete.DiscreteEngine, noise_seq: jnp.ndarray) -> SweepStats:
-    """Rollout one scenario chunk and reduce to scalars (jit-friendly)."""
-    out = discrete.rollout(engine, noise_seq)
+def chunk_stats(engine, noise_seq: jnp.ndarray) -> SweepStats:
+    """Rollout one scenario chunk and reduce to scalars (jit-friendly).
+
+    Accepts either a DiscreteEngine (noise_seq: (T, B, 4)) or a
+    ContinuousEngine (noise_seq: held draws (n_draws, B, 2))."""
+    from mpc_arpo_project_tpu.rollout import continuous as cont
+
     B = noise_seq.shape[1]
-    fd = _final_distance(out, engine.xr)
+    if isinstance(engine, cont.ContinuousEngine):
+        out = cont.rollout(engine, noise_seq)
+        xr = engine.base.xr
+        x_hist, i_term = out.x_true_ticks, out.i_term_sub // engine.n_sub
+        iters = jnp.zeros((), jnp.int32)
+    else:
+        out = discrete.rollout(engine, noise_seq)
+        xr = engine.xr
+        x_hist, i_term = out.x_true, out.i_term
+        iters = out.iters.sum().astype(jnp.int32)
+    T1 = x_hist.shape[0]
+    idx = jnp.clip(i_term - 1, 0, T1 - 1)
+    xf = jnp.take_along_axis(x_hist, idx[None, :, None].astype(jnp.int32), axis=0)[0]
+    fd = jnp.linalg.norm(xf - xr[None, :], axis=1)
     codes = out.ctrl_seq  # (T, B)
     return SweepStats(
         n=jnp.asarray(B, dtype=jnp.int32),
         n_success=out.success.sum().astype(jnp.int32),
         sum_final_dist=fd.sum(),
-        sum_i_term=out.i_term.sum().astype(jnp.int32),
+        sum_i_term=i_term.sum().astype(jnp.int32),
         n_mpc=(codes == 1).sum().astype(jnp.int32),
         n_failsafe=(codes == 2).sum().astype(jnp.int32),
         n_deadbeat=(codes == 3).sum().astype(jnp.int32),
-        sum_iters=out.iters.sum().astype(jnp.int32),
+        sum_iters=iters,
     )
 
 
@@ -130,13 +147,18 @@ def run_sweep(
             start = ck["next_chunk"]
             acc = ck["acc"]
 
+    from mpc_arpo_project_tpu.rollout import continuous as cont
+
     n_chunks = (total + chunk - 1) // chunk
     for ci in range(start, n_chunks):
         # chunks always run full width for shape stability; a ragged final
         # chunk just contributes extra valid MC scenarios (all counts use the
         # actually-executed n)
         ck_key = jax.random.fold_in(key, ci)
-        noise_seq = discrete.make_noise_sequence(engine, ck_key, chunk)
+        if isinstance(engine, cont.ContinuousEngine):
+            noise_seq = cont.make_noise_draws(engine, ck_key, chunk)
+        else:
+            noise_seq = discrete.make_noise_sequence(engine, ck_key, chunk)
         st = f(engine, noise_seq)
         acc = _acc_update(acc, st)
         if checkpoint_path:
