@@ -623,26 +623,14 @@ def _solve_pallas(prob, coeffs, lbar, ubar, state, settings, qbar):
             M, minv, prev_ok, settings.ns_warm_iters, settings.ns_cold_iters, bt=bt
         )
 
-    # refresh only when the inverse's reference point moved materially:
-    # funnel-sign flips, >5% slope drift, rho rescale, or cold state
-    rc = state.ref_coef
-    need = (
-        (rc[:, 0] != c1)
-        | (rc[:, 1] != c2)
-        | (jnp.abs(rc[:, 2] - s) > 0.05 * (1.0 + jnp.abs(rc[:, 2])))
-        | (rc[:, 3] != state.rho_scale)
-        | ~state.minv_ok
-    )
-    minv0 = jax.lax.cond(
-        jnp.any(need),
-        lambda: ns_refresh(state.minv, state.rho_scale, ~need & state.minv_ok),
-        lambda: state.minv,
-    )
-    ref0 = jnp.where(
-        need[:, None],
-        jnp.stack([c1, c2, s, state.rho_scale], axis=1),
-        rc,
-    )
+    # ALWAYS warm-refresh the inverse at solve entry: measured on the real
+    # problem, even a ~4e-3-residual (one-step-stale) inverse stalls ADMM
+    # completely, so drift-threshold gating is a false economy. The
+    # residual-checked safe_inverse cold-restarts problems whose warm start
+    # diverged (coefficient flips, rho jumps, cold state).
+    prev_ok = jnp.broadcast_to(state.minv_ok, state.rho_scale.shape)
+    minv0 = ns_refresh(state.minv, state.rho_scale, prev_ok)
+    ref0 = jnp.stack([c1, c2, s, state.rho_scale], axis=1)
 
     n_checks = settings.max_iter // settings.check_every
     adapt_stride = max(1, settings.adaptive_rho_interval // settings.check_every)
@@ -729,8 +717,14 @@ def _solve_pallas(prob, coeffs, lbar, ubar, state, settings, qbar):
     )
     status = jnp.where(done, status, MAX_ITER).astype(jnp.int32)
     # record the rho the inverse currently reflects (mid-solve adaptation
-    # refreshed it on any trigger)
+    # refreshed it on any trigger); NaN-mark problems that failed to converge
+    # so the next solve refreshes their inverse unconditionally
     ref_out = ref0.at[:, 3].set(rho_scale)
+    ref_out = jnp.where(
+        (status == MAX_ITER)[:, None],
+        jnp.full_like(ref_out, jnp.nan),
+        ref_out,
+    )
     return ADMMResult(
         x=prob.D * x,
         status=status,
