@@ -88,6 +88,8 @@ class ADMMSettings(NamedTuple):
     ns_warm_iters: int = 3
     ns_cold_iters: int = 45
     pallas_tile: int = 4
+    # iterative-refinement steps inside the Pallas solve (fp32 robustness)
+    ir_steps: int = 1
 
 
 class ADMMProblem(NamedTuple):
@@ -652,6 +654,7 @@ def _solve_pallas(prob, coeffs, lbar, ubar, state, settings, qbar):
             eps_dinf=float(settings.eps_dinf),
             pinf_margin=float(settings.pinf_support_margin),
             bt=bt,
+            ir_steps=settings.ir_steps,
         )
         cinv = 1.0 / prob.c
         rp, rp_rel = stats[:, 0], stats[:, 1]

@@ -134,7 +134,6 @@ class _CCarry(NamedTuple):
     xest_stored: jnp.ndarray
     P: jnp.ndarray
     xintf: jnp.ndarray
-    hold_u: jnp.ndarray  # (B, 2) control currently applied (this tick's, post-delay)
     prev_u: jnp.ndarray  # (B, 2) previous tick's control (for the delay substep + UKF)
     l: jnp.ndarray
     u: jnp.ndarray
@@ -294,7 +293,6 @@ def _tick(engine: ContinuousEngine, carry: _CCarry, tick_in, noise_draws, subste
         xest_stored=keep(dyn.xest_stored, carry.xest_stored),
         P=keep(P_next, carry.P),
         xintf=keep(xintf_new, carry.xintf),
-        hold_u=keep(ctrl, carry.hold_u),
         prev_u=keep(ctrl, carry.prev_u),
         l=keep(l_new, carry.l),
         u=keep(u_new, carry.u),
@@ -352,7 +350,6 @@ def rollout(
         xest_stored=dcarry.xest_stored,
         P=dcarry.P,
         xintf=dcarry.xintf,
-        hold_u=jnp.zeros((B, 2), dtype=dt),
         prev_u=jnp.zeros((B, 2), dtype=dt),
         l=dcarry.l,
         u=dcarry.u,
