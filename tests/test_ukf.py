@@ -91,3 +91,37 @@ def test_ukf_vmappable():
     assert out.x.shape == (B, 6)
     assert out.P.shape == (B, 6, 6)
     assert np.isfinite(np.asarray(out.x)).all()
+
+
+def test_steady_state_kf_and_observability():
+    """Steady-state KF variant (prototype lineage, misc/MPCrendezvousKALMANONLY)
+    on the disturbance-augmented system: the PBH-style observability the
+    reference checks in misc/MPCrendezvousKALMANAUG.py:84-97 must hold (the
+    augmented pair is observable), and the fixed-gain filter must converge to
+    a constant disturbance under linear position measurements."""
+    from mpc_arpo_project_tpu.ops import kalman
+
+    Ad, Bd, Ao, Bou, Qw = _observer()
+    Co = np.hstack([np.eye(2, 4), np.zeros((2, 2))])
+    # observability matrix rank of the augmented pair
+    Ob = np.vstack([Co @ np.linalg.matrix_power(Ao, k) for k in range(6)])
+    assert np.linalg.matrix_rank(Ob, tol=1e-10) == 6
+
+    V = 1e-4 * np.eye(2)
+    L, P = kalman.steady_state_gain(
+        jnp.asarray(Ao), jnp.asarray(Co), jnp.asarray(Qw + 1e-9 * np.eye(6)),
+        jnp.asarray(V),
+    )
+    assert np.isfinite(np.asarray(L)).all()
+
+    x_true = np.array([100.0, 10.0, 0.0, 0.0])
+    d_true = np.array([0.5, -0.3])
+    xh = jnp.asarray(np.concatenate([x_true, [0.0, 0.0]]))
+    u = np.zeros(2)
+    for _ in range(200):
+        x_true = Ad @ x_true + Bd @ u + np.concatenate([d_true, [0, 0]])
+        z = x_true[:2]
+        xh = kalman.kf_step(xh, jnp.asarray(u), jnp.asarray(z),
+                            jnp.asarray(Ao), jnp.asarray(Bou), jnp.asarray(Co),
+                            L)
+    np.testing.assert_allclose(np.asarray(xh[4:]), d_true, atol=0.02)
