@@ -87,9 +87,15 @@ class ADMMSettings(NamedTuple):
     solve_mode: str = "chol"
     ns_warm_iters: int = 3
     ns_cold_iters: int = 45
-    pallas_tile: int = 4
-    # iterative-refinement steps inside the Pallas solve (fp32 robustness)
-    ir_steps: int = 1
+    pallas_tile: int = 8
+    # iterative-refinement steps inside the Pallas solve: each step SQUARES
+    # the effective inverse error, which both fixes fp32 floors and buys a
+    # large staleness tolerance for the refresh gating below
+    ir_steps: int = 2
+    # refresh the inverse when the slope coefficient drifts this far
+    # (relative) from the refresh point; with ir_steps=2 a 5%-stale inverse
+    # still solves to ~1e-4
+    ns_refresh_drift: float = 0.05
 
 
 class ADMMProblem(NamedTuple):
@@ -625,14 +631,27 @@ def _solve_pallas(prob, coeffs, lbar, ubar, state, settings, qbar):
             M, minv, prev_ok, settings.ns_warm_iters, settings.ns_cold_iters, bt=bt
         )
 
-    # ALWAYS warm-refresh the inverse at solve entry: measured on the real
-    # problem, even a ~4e-3-residual (one-step-stale) inverse stalls ADMM
-    # completely, so drift-threshold gating is a false economy. The
-    # residual-checked safe_inverse cold-restarts problems whose warm start
-    # diverged (coefficient flips, rho jumps, cold state).
-    prev_ok = jnp.broadcast_to(state.minv_ok, state.rho_scale.shape)
-    minv0 = ns_refresh(state.minv, state.rho_scale, prev_ok)
-    ref0 = jnp.stack([c1, c2, s, state.rho_scale], axis=1)
+    # Refresh gating: without refinement, even a ~4e-3-stale inverse stalls
+    # ADMM (measured), but each in-kernel IR step squares the inverse error,
+    # so with ir_steps >= 2 the inverse may drift ~5% between refreshes.
+    # Refresh on funnel-sign flips, slope drift beyond ns_refresh_drift, rho
+    # rescale, cold state, or the NaN mark left by a non-converged solve.
+    rc = state.ref_coef
+    need = (
+        (rc[:, 0] != c1)
+        | (rc[:, 1] != c2)
+        | ~(jnp.abs(rc[:, 2] - s) <= settings.ns_refresh_drift * (1.0 + jnp.abs(rc[:, 2])))
+        | (rc[:, 3] != state.rho_scale)
+        | ~state.minv_ok
+    )
+    minv0 = jax.lax.cond(
+        jnp.any(need),
+        lambda: ns_refresh(state.minv, state.rho_scale, ~need & state.minv_ok),
+        lambda: state.minv,
+    )
+    ref0 = jnp.where(
+        need[:, None], jnp.stack([c1, c2, s, state.rho_scale], axis=1), rc
+    )
 
     n_checks = settings.max_iter // settings.check_every
     adapt_stride = max(1, settings.adaptive_rho_interval // settings.check_every)

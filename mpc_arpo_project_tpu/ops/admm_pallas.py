@@ -74,12 +74,14 @@ def _ns_kernel(m_ref, x_ref, out_ref, res_ref, *, n_iter: int, nz: int, bt: int)
         out_ref[p] = Xf
         # inverse-quality diagnostic: ||I - M X||_inf
         MX = jnp.dot(M, Xf, preferred_element_type=pt)
-        resids.append(jnp.max(jnp.abs(0.5 * I2 - MX)).reshape(1, 1))
-    # Mosaic cannot store scalars to VMEM: write the whole (bt, 1) block
+        r = jnp.max(jnp.abs(0.5 * I2 - MX)).reshape(1, 1)
+        # Mosaic: full-block stores only, no sublane+lane double broadcast —
+        # build the (1, 8) row by lane-concatenation
+        resids.append(jnp.concatenate([r] * 8, axis=1))
     res_ref[:, :] = jnp.concatenate(resids, axis=0)
 
 
-def newton_schulz_inverse(M, X0, n_iter: int = 4, bt: int = 4, interpret=None):
+def newton_schulz_inverse(M, X0, n_iter: int = 4, bt: int = 8, interpret=None):
     """Batched inverse refinement: X <- X(2I - MX), ``n_iter`` times.
 
     M, X0: (B, nz, nz). Returns (X, residual) with residual (B,) the
@@ -99,18 +101,19 @@ def newton_schulz_inverse(M, X0, n_iter: int = 4, bt: int = 4, interpret=None):
         ],
         out_specs=(
             pl.BlockSpec((bt, nz, nz), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((bt, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bt, 8), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((B, nz, nz), M.dtype),
-            jax.ShapeDtypeStruct((B, 1), M.dtype),
+            jax.ShapeDtypeStruct((B, 8), M.dtype),
         ),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(M, X0)
     return X, res[:, 0]
 
 
-def safe_inverse(M, X_prev, prev_ok, warm_iters: int, cold_iters: int, bt: int = 4):
+def safe_inverse(M, X_prev, prev_ok, warm_iters: int, cold_iters: int, bt: int = 8):
     """Warm-refresh the inverse; selectively cold-restart problems whose
     refreshed residual is bad (large M changes — rho jumps, sign flips — put
     the warm start outside Newton-Schulz's convergence basin)."""
@@ -319,7 +322,7 @@ def admm_chunk(
     eps_pinf: float,
     eps_dinf: float,
     pinf_margin: float,
-    bt: int = 4,
+    bt: int = 8,
     ir_steps: int = 1,
     interpret=None,
 ):
@@ -388,6 +391,9 @@ def admm_chunk(
             jax.ShapeDtypeStruct((B, m), z.dtype),
             jax.ShapeDtypeStruct((B, 8), x.dtype),
         ),
+        # the default 16M scoped-vmem cap under-uses the chip; double-buffered
+        # tile inputs for this kernel need ~22M
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(minv, coef, qbar, lbar, ubar, rho, x, y, z, uinf, linf, ucap, lcap,
       ak4, pbar, einv.reshape(1, -1), dinv.reshape(1, -1))
