@@ -82,13 +82,17 @@ def main():
     dev = jax.devices()[0]
     log(f"bench: device={dev.device_kind} batch={B} horizon Nx=50 T={sim.nsim} steps")
 
-    # production solver profile: the Pallas fused-chunk path with max_iter
-    # capped at 1000 (failsafe engagement is identical in kind to OSQP's 4000
-    # cap — a non-converged step falls back; closed-loop behavior validated
-    # statistically in tests)
+    # production solver profile: the Pallas fused-chunk path at the
+    # reference's own 4000-iteration OSQP cap, plus stall exit — marginally
+    # infeasible QPs in this family plateau without ever converging (checked
+    # at fp64/8000 iters) yet evade the Farkas certificate; stalled problems
+    # exit early with the same MAX_ITER -> failsafe outcome the cap gives,
+    # so closed-loop behavior is unchanged while the batch (whose iteration
+    # count is a max over scenarios) keeps moving.
     settings = admm.ADMMSettings(
-        max_iter=int(os.environ.get("BENCH_MAX_ITER", "1000")),
+        max_iter=int(os.environ.get("BENCH_MAX_ITER", "4000")),
         solve_mode=os.environ.get("BENCH_SOLVE_MODE", "pallas"),
+        stall_exit_chunks=int(os.environ.get("BENCH_STALL", "12")),
     )
     t0 = time.perf_counter()
     engine = discrete.build_engine(sim, mpc, fail, debris, settings=settings, dtype=jnp.float32)

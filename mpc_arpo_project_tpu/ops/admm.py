@@ -96,6 +96,16 @@ class ADMMSettings(NamedTuple):
     # (relative) from the refresh point; with ir_steps=2 a 5%-stale inverse
     # still solves to ~1e-4
     ns_refresh_drift: float = 0.05
+    # stall exit (0 = disabled, the OSQP-faithful default): declare MAX_ITER
+    # early when neither residual has improved by >= 5% for this many check
+    # intervals. Marginally-infeasible QPs in this problem family plateau
+    # (verified not to converge even at fp64 with 8000 iterations) yet evade
+    # the Farkas certificate; the batch iteration count is a max over
+    # problems, so one plateaued problem otherwise drags every scenario in
+    # the batch to the cap. Closed-loop behavior is unchanged in kind: the
+    # step falls back to the failsafe exactly as the capped solve would.
+    stall_exit_chunks: int = 0
+    stall_improve: float = 0.95
 
 
 class ADMMProblem(NamedTuple):
@@ -387,6 +397,7 @@ def admm_solve(
     state: ADMMState,
     settings: ADMMSettings = ADMMSettings(),
     qbar: Optional[jnp.ndarray] = None,
+    active: Optional[jnp.ndarray] = None,
 ) -> ADMMResult:
     """Solve the batch of QPs defined by (prob, coeffs, l, u), warm-started.
 
@@ -396,16 +407,22 @@ def admm_solve(
         state: warm-start iterates from the previous control step.
         qbar: optional per-problem scaled linear cost (B, nz); defaults to the
             shared ``prob.qbar``.
+        active: optional (B,) bool mask — inactive problems are skipped
+            entirely (iterates frozen, status UNSOLVED). The rollout passes
+            its ``alive`` mask: batch iteration count is the max over
+            problems, so a single dead scenario frozen in a non-convergent
+            state would otherwise drag every remaining control step to the
+            iteration cap.
     Returns an ADMMResult with the unscaled primal solution and OSQP-style
     per-problem status codes.
     """
     # TPU MXU default precision is bf16 multiplies — fatal for ADMM
     # convergence in fp32; force full-precision matmuls for the whole solve
     with jax.default_matmul_precision("highest"):
-        return _admm_solve_impl(prob, coeffs, l, u, state, settings, qbar)
+        return _admm_solve_impl(prob, coeffs, l, u, state, settings, qbar, active)
 
 
-def _admm_solve_impl(prob, coeffs, l, u, state, settings, qbar):
+def _admm_solve_impl(prob, coeffs, l, u, state, settings, qbar, active=None):
     dt = prob.Pbar.dtype
     B = l.shape[0]
     if qbar is None:
@@ -421,8 +438,10 @@ def _admm_solve_impl(prob, coeffs, l, u, state, settings, qbar):
 
     lbar = prob.E * l
     ubar = prob.E * u
+    if active is None:
+        active = jnp.ones((B,), dtype=bool)
     if settings.solve_mode == "pallas":
-        return _solve_pallas(prob, coeffs, lbar, ubar, state, settings, qbar)
+        return _solve_pallas(prob, coeffs, lbar, ubar, state, settings, qbar, active)
     sigma = jnp.asarray(settings.sigma, dtype=dt)
     alpha = jnp.asarray(settings.alpha, dtype=dt)
 
@@ -503,10 +522,7 @@ def _admm_solve_impl(prob, coeffs, l, u, state, settings, qbar):
         return t1 & t2 & up_ok & lo_ok & (nv > settings.eps_dinf)
 
     def one_iter(carry, _):
-        # carries the last single-iteration deltas (dx, dy): OSQP's
-        # infeasibility certificates test the per-iteration delta, not an
-        # accumulated one
-        x, y, z, _, _, L, rho_scale = carry
+        x, y, z, L, rho_scale = carry
         rho = rho_scale[:, None] * prob.rho_vec
         rhs = sigma * x - qbar + _matvec_AT(prob, coeffs, rho * z - y)
         xt = solve_M(L, rhs)
@@ -515,7 +531,7 @@ def _admm_solve_impl(prob, coeffs, l, u, state, settings, qbar):
         z_tmp = alpha * zt + (1 - alpha) * z
         z_n = jnp.clip(z_tmp + y / rho, lbar, ubar)
         y_n = y + rho * (z_tmp - z_n)
-        return (x_n, y_n, z_n, x_n - x, y_n - y, L, rho_scale), None
+        return (x_n, y_n, z_n, L, rho_scale), None
 
     n_checks = settings.max_iter // settings.check_every
     adapt_stride = max(1, settings.adaptive_rho_interval // settings.check_every)
@@ -525,13 +541,25 @@ def _admm_solve_impl(prob, coeffs, l, u, state, settings, qbar):
         return (~jnp.all(done)) & (chunk < n_checks)
 
     def body(carry):
-        x, y, z, _, _, done, status, chunk, L, rho_scale = carry
-        (x_n, y_n, z_n, dx, dy, _, _), _ = jax.lax.scan(
+        (x, y, z, _, _, done, status, chunk, L, rho_scale,
+         best_rp, best_rd, last_prog) = carry
+        (x_n, y_n, z_n, _, _), _ = jax.lax.scan(
             one_iter,
-            (x, y, z, jnp.zeros_like(x), jnp.zeros_like(y), L, rho_scale),
+            (x, y, z, L, rho_scale),
             None,
             length=settings.check_every,
         )
+        # infeasibility certificates test the delta ACCUMULATED over the whole
+        # check interval, not a single-iteration delta: along a divergence ray
+        # successive deltas share the recession direction, so the accumulated
+        # delta carries check_every-fold the signal while active-set chatter
+        # (and, at fp32, round-off of order eps*||y||, which exceeds a
+        # single-iteration delta once ||y|| grows along the ray) averages out.
+        # Single-iteration deltas made detection a per-chunk coin flip and
+        # stalled fp32 solves at the iteration cap (measured; the NumPy/C++
+        # oracles apply the identical rule).
+        dx = x_n - x
+        dy = y_n - y
         rp, rp_rel, rd, rd_rel = residuals(x_n, y_n, z_n)
         conv = (rp <= settings.eps_abs + settings.eps_rel * rp_rel) & (
             rd <= settings.eps_abs + settings.eps_rel * rd_rel
@@ -551,6 +579,17 @@ def _admm_solve_impl(prob, coeffs, l, u, state, settings, qbar):
         y = jnp.where(keep, y, y_n)
         z = jnp.where(keep, z, z_n)
         done = done | newly_done
+
+        if settings.stall_exit_chunks:
+            improved = (rp <= settings.stall_improve * best_rp) | (
+                rd <= settings.stall_improve * best_rd
+            )
+            last_prog = jnp.where(done | improved, chunk + 1, last_prog)
+            stalled = (~done) & (chunk + 1 - last_prog >= settings.stall_exit_chunks)
+            status = jnp.where(stalled, MAX_ITER, status)
+            done = done | stalled
+        best_rp = jnp.minimum(best_rp, rp)
+        best_rd = jnp.minimum(best_rd, rd)
 
         # OSQP-style mid-solve rho adaptation (every adaptive_rho_interval
         # iterations): per-problem scalar rescale + batched refactor, executed
@@ -577,7 +616,8 @@ def _admm_solve_impl(prob, coeffs, l, u, state, settings, qbar):
             L = jax.lax.cond(jnp.any(trig), lambda: factor(new_scale), lambda: L)
             rho_scale = new_scale
 
-        return (x, y, z, rp, rd, done, status, chunk + 1, L, rho_scale)
+        return (x, y, z, rp, rd, done, status, chunk + 1, L, rho_scale,
+                best_rp, best_rd, last_prog)
 
     rp0 = jnp.full((B,), jnp.inf, dtype=dt)
     carry0 = (
@@ -586,15 +626,17 @@ def _admm_solve_impl(prob, coeffs, l, u, state, settings, qbar):
         state.zbar,
         rp0,
         rp0,
-        jnp.zeros((B,), dtype=bool),
+        ~active,  # inactive problems start done (status UNSOLVED, frozen)
         jnp.zeros((B,), dtype=jnp.int32),
         jnp.zeros((), dtype=jnp.int32),
         factor(state.rho_scale),
         state.rho_scale,
+        rp0,  # best_rp
+        rp0,  # best_rd
+        jnp.zeros((B,), dtype=jnp.int32),  # last progress chunk
     )
-    x, y, z, rp, rd, done, status, chunks, _, rho_scale = jax.lax.while_loop(
-        cond, body, carry0
-    )
+    (x, y, z, rp, rd, done, status, chunks, _, rho_scale,
+     _, _, _) = jax.lax.while_loop(cond, body, carry0)
     status = jnp.where(done, status, MAX_ITER).astype(jnp.int32)
 
     return ADMMResult(
@@ -609,7 +651,7 @@ def _admm_solve_impl(prob, coeffs, l, u, state, settings, qbar):
     )
 
 
-def _solve_pallas(prob, coeffs, lbar, ubar, state, settings, qbar):
+def _solve_pallas(prob, coeffs, lbar, ubar, state, settings, qbar, active):
     """Fused-chunk solve path: one Pallas kernel launch per check interval,
     Newton-Schulz inverse maintenance instead of factorization (see
     ops.admm_pallas for the rationale)."""
@@ -643,7 +685,9 @@ def _solve_pallas(prob, coeffs, lbar, ubar, state, settings, qbar):
         | ~(jnp.abs(rc[:, 2] - s) <= settings.ns_refresh_drift * (1.0 + jnp.abs(rc[:, 2])))
         | (rc[:, 3] != state.rho_scale)
         | ~state.minv_ok
-    )
+    ) & active  # skipped problems never refresh (a dead scenario NaN-marked
+    # by a capped final solve would otherwise cold-start Newton-Schulz on
+    # every remaining control step)
     minv0 = jax.lax.cond(
         jnp.any(need),
         lambda: ns_refresh(state.minv, state.rho_scale, ~need & state.minv_ok),
@@ -661,11 +705,13 @@ def _solve_pallas(prob, coeffs, lbar, ubar, state, settings, qbar):
         return (~jnp.all(done)) & (chunk < n_checks)
 
     def body(carry):
-        x, y, z, _, _, done, status, chunk, minv, rho_scale = carry
+        (x, y, z, _, _, done, status, chunk, minv, rho_scale,
+         best_rp, best_rd, last_prog) = carry
         rho = rho_scale[:, None] * prob.rho_vec
         x_n, y_n, z_n, stats = admm_pallas.admm_chunk(
             minv, coef, qbar, lbar, ubar, rho, x, y, z, ak4, prob.Pbar,
             prob.Einv, prob.Dinv,
+            done=done,
             n_iter=settings.check_every,
             sigma=sigma,
             alpha=float(settings.alpha),
@@ -696,6 +742,17 @@ def _solve_pallas(prob, coeffs, lbar, ubar, state, settings, qbar):
         z = jnp.where(keep, z, z_n)
         done = done | newly_done
 
+        if settings.stall_exit_chunks:
+            improved = (rp <= settings.stall_improve * best_rp) | (
+                rd <= settings.stall_improve * best_rd
+            )
+            last_prog = jnp.where(done | improved, chunk + 1, last_prog)
+            stalled = (~done) & (chunk + 1 - last_prog >= settings.stall_exit_chunks)
+            status = jnp.where(stalled, MAX_ITER, status)
+            done = done | stalled
+        best_rp = jnp.minimum(best_rp, rp)
+        best_rd = jnp.minimum(best_rd, rd)
+
         if settings.adaptive_rho:
             num = rp / jnp.maximum(rp_rel, 1e-10)
             den = jnp.maximum(rd / jnp.maximum(rd_rel, 1e-10), 1e-10)
@@ -719,7 +776,8 @@ def _solve_pallas(prob, coeffs, lbar, ubar, state, settings, qbar):
             )
             rho_scale = new_scale
 
-        return (x, y, z, rp, rd, done, status, chunk + 1, minv, rho_scale)
+        return (x, y, z, rp, rd, done, status, chunk + 1, minv, rho_scale,
+                best_rp, best_rd, last_prog)
 
     rp0 = jnp.full((B,), jnp.inf, dtype=dt)
     carry0 = (
@@ -728,15 +786,17 @@ def _solve_pallas(prob, coeffs, lbar, ubar, state, settings, qbar):
         state.zbar,
         rp0,
         rp0,
-        jnp.zeros((B,), dtype=bool),
+        ~active,  # inactive problems start done (status UNSOLVED, frozen)
         jnp.zeros((B,), dtype=jnp.int32),
         jnp.zeros((), dtype=jnp.int32),
         minv0,
         state.rho_scale,
+        rp0,  # best_rp
+        rp0,  # best_rd
+        jnp.zeros((B,), dtype=jnp.int32),  # last progress chunk
     )
-    x, y, z, rp, rd, done, status, chunks, minv, rho_scale = jax.lax.while_loop(
-        cond, body, carry0
-    )
+    (x, y, z, rp, rd, done, status, chunks, minv, rho_scale,
+     _, _, _) = jax.lax.while_loop(cond, body, carry0)
     status = jnp.where(done, status, MAX_ITER).astype(jnp.int32)
     # record the rho the inverse currently reflects (mid-solve adaptation
     # refreshed it on any trigger); NaN-mark problems that failed to converge

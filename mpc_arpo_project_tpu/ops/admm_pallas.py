@@ -154,6 +154,7 @@ def _chunk_kernel(
     linf_ref,  # (BT, m) f32 mask: 1 where lbar infinite
     ucap_ref,  # (BT, m) ubar with inf replaced by 0
     lcap_ref,  # (BT, m) lbar with -inf replaced by 0
+    done_ref,  # (BT, 8) f32 mask: 1 where the problem is already done
     # shared inputs
     ak_ref,  # (4, m, nz)
     pbar_ref,  # (nz, nz)
@@ -217,7 +218,7 @@ def _chunk_kernel(
         return xt
 
     def body(i, carry):
-        x, y, z, _, _ = carry
+        x, y, z = carry
         rho = rho_ref[:, :]
         rhs = sigma * x - qbar_ref[:, :] + matvec_AT(rho * z - y)
         xt = solve_M(rhs)
@@ -226,91 +227,109 @@ def _chunk_kernel(
         z_tmp = alpha * zt + (1.0 - alpha) * z
         z_n = jnp.clip(z_tmp + y / rho, lbar_ref[:, :], ubar_ref[:, :])
         y_n = y + rho * (z_tmp - z_n)
-        return (x_n, y_n, z_n, x_n - x, y_n - y)
+        return (x_n, y_n, z_n)
 
-    x0 = x_ref[:, :]
-    y0 = y_ref[:, :]
-    z0 = z_ref[:, :]
-    zeros_x = jnp.zeros_like(x0)
-    zeros_y = jnp.zeros_like(y0)
-    x, y, z, dx, dy = jax.lax.fori_loop(
-        0, n_iter, body, (x0, y0, z0, zeros_x, zeros_y)
-    )
-    xo_ref[:, :] = x
-    yo_ref[:, :] = y
-    zo_ref[:, :] = z
+    # per-tile early exit: the surrounding while-loop runs until EVERY problem
+    # in the batch is done, so late chunks are paid for by a handful of
+    # straggler problems. Tiles whose bt problems are all done skip the whole
+    # chunk (iterates pass through; stats are zeros, ignored for done
+    # problems) — chunk cost then scales with the number of still-active
+    # tiles instead of the full batch.
+    alive_any = jnp.max(1.0 - done_ref[:, :]) > 0.5
 
-    # ---- residuals (unscaled), as in ops.admm.residuals
-    einv = einv_ref[0, :]
-    dinv = dinv_ref[0, :]
-    Ax = matvec_A(x)
-    rp = jnp.max(jnp.abs(einv * (Ax - z)), axis=1)
-    rp_rel = jnp.maximum(
-        jnp.max(jnp.abs(einv * Ax), axis=1), jnp.max(jnp.abs(einv * z), axis=1)
-    )
-    # NOTE: rd/rd_rel are emitted WITHOUT the 1/c cost-unscaling factor —
-    # the caller applies it (c is a traced array under jit)
-    Px = jnp.dot(x, pbar_ref[:, :], preferred_element_type=f32)
-    Aty = matvec_AT(y)
-    rd = jnp.max(jnp.abs(dinv * (Px + qbar_ref[:, :] + Aty)), axis=1)
-    rd_rel = jnp.maximum(
-        jnp.max(jnp.abs(dinv * Px), axis=1),
-        jnp.maximum(
-            jnp.max(jnp.abs(dinv * Aty), axis=1),
-            jnp.max(jnp.abs(dinv * qbar_ref[:, :]), axis=1),
-        ),
-    )
+    @pl.when(alive_any)
+    def _compute():
+        x0 = x_ref[:, :]
+        y0 = y_ref[:, :]
+        z0 = z_ref[:, :]
+        x, y, z = jax.lax.fori_loop(0, n_iter, body, (x0, y0, z0))
+        # certificate deltas accumulated over the whole chunk (see
+        # ops.admm.body: single-iteration deltas sit below the fp32 round-off
+        # floor at large ||y|| and made infeasibility detection a coin flip)
+        dx = x - x0
+        dy = y - y0
+        xo_ref[:, :] = x
+        yo_ref[:, :] = y
+        zo_ref[:, :] = z
 
-    # ---- primal infeasibility certificate (scaled space; see ops.admm).
-    # Float-mask arithmetic throughout: Mosaic cannot lower wide boolean
-    # vector selects (i8->i1 truncation), so the recession-cone projection
-    # and support sums are expressed with precomputed f32 masks and capped
-    # bounds (projection zeroes v on infinite-bound rows, so the capped
-    # bounds give the exact support sum with no inf*0 terms).
-    uinf = uinf_ref[:, :]
-    linf = linf_ref[:, :]
-    both = uinf * linf
-    uo = uinf * (1.0 - linf)
-    lo = linf * (1.0 - uinf)
-    v = dy * (1.0 - both)
-    v = v * (1.0 - uo) + jnp.minimum(v, 0.0) * uo
-    v = v * (1.0 - lo) + jnp.maximum(v, 0.0) * lo
-    nv = jnp.max(jnp.abs(v), axis=1)
-    Atv = matvec_AT(v)
-    atv_n = jnp.max(jnp.abs(Atv), axis=1)
-    sup = (ucap_ref[:, :] * jnp.maximum(v, 0.0)).sum(axis=1) + (
-        lcap_ref[:, :] * jnp.minimum(v, 0.0)
-    ).sum(axis=1)
-    thresh = max(eps_pinf, pinf_margin)
-    pinf = (
-        jnp.maximum(jnp.sign(eps_pinf * nv - atv_n), 0.0)
-        * jnp.maximum(jnp.sign(-thresh * nv - sup), 0.0)
-        * jnp.maximum(jnp.sign(nv - eps_pinf), 0.0)
-    )
+        # ---- residuals (unscaled), as in ops.admm.residuals
+        einv = einv_ref[0, :]
+        dinv = dinv_ref[0, :]
+        Ax = matvec_A(x)
+        rp = jnp.max(jnp.abs(einv * (Ax - z)), axis=1)
+        rp_rel = jnp.maximum(
+            jnp.max(jnp.abs(einv * Ax), axis=1), jnp.max(jnp.abs(einv * z), axis=1)
+        )
+        # NOTE: rd/rd_rel are emitted WITHOUT the 1/c cost-unscaling factor —
+        # the caller applies it (c is a traced array under jit)
+        Px = jnp.dot(x, pbar_ref[:, :], preferred_element_type=f32)
+        Aty = matvec_AT(y)
+        rd = jnp.max(jnp.abs(dinv * (Px + qbar_ref[:, :] + Aty)), axis=1)
+        rd_rel = jnp.maximum(
+            jnp.max(jnp.abs(dinv * Px), axis=1),
+            jnp.maximum(
+                jnp.max(jnp.abs(dinv * Aty), axis=1),
+                jnp.max(jnp.abs(dinv * qbar_ref[:, :]), axis=1),
+            ),
+        )
 
-    # ---- dual infeasibility certificate (same float-mask style)
-    nvx = jnp.max(jnp.abs(dx), axis=1)
-    Pdx = jnp.dot(dx, pbar_ref[:, :], preferred_element_type=f32)
-    pdx_n = jnp.max(jnp.abs(Pdx), axis=1)
-    qv = (qbar_ref[:, :] * dx).sum(axis=1)
-    Adx = matvec_A(dx)
-    eps_b = eps_dinf * nvx[:, None]
-    up_viol = (jnp.maximum(Adx - eps_b, 0.0) * (1.0 - uinf)).max(axis=1)
-    lo_viol = (jnp.maximum(-eps_b - Adx, 0.0) * (1.0 - linf)).max(axis=1)
-    # up/lo violations are >= 0; ok iff exactly zero
-    dinf = (
-        jnp.maximum(jnp.sign(eps_dinf * nvx - pdx_n), 0.0)
-        * jnp.maximum(jnp.sign(-eps_dinf * nvx - qv), 0.0)
-        * (1.0 - jnp.sign(up_viol))
-        * (1.0 - jnp.sign(lo_viol))
-        * jnp.maximum(jnp.sign(nvx - eps_dinf), 0.0)
-    )
+        # ---- primal infeasibility certificate (scaled space; see ops.admm).
+        # Float-mask arithmetic throughout: Mosaic cannot lower wide boolean
+        # vector selects (i8->i1 truncation), so the recession-cone projection
+        # and support sums are expressed with precomputed f32 masks and capped
+        # bounds (projection zeroes v on infinite-bound rows, so the capped
+        # bounds give the exact support sum with no inf*0 terms).
+        uinf = uinf_ref[:, :]
+        linf = linf_ref[:, :]
+        both = uinf * linf
+        uo = uinf * (1.0 - linf)
+        lo = linf * (1.0 - uinf)
+        v = dy * (1.0 - both)
+        v = v * (1.0 - uo) + jnp.minimum(v, 0.0) * uo
+        v = v * (1.0 - lo) + jnp.maximum(v, 0.0) * lo
+        nv = jnp.max(jnp.abs(v), axis=1)
+        Atv = matvec_AT(v)
+        atv_n = jnp.max(jnp.abs(Atv), axis=1)
+        sup = (ucap_ref[:, :] * jnp.maximum(v, 0.0)).sum(axis=1) + (
+            lcap_ref[:, :] * jnp.minimum(v, 0.0)
+        ).sum(axis=1)
+        thresh = max(eps_pinf, pinf_margin)
+        pinf = (
+            jnp.maximum(jnp.sign(eps_pinf * nv - atv_n), 0.0)
+            * jnp.maximum(jnp.sign(-thresh * nv - sup), 0.0)
+            * jnp.maximum(jnp.sign(nv - eps_pinf), 0.0)
+        )
 
-    # single full-block store (Mosaic rejects scalar/column writes to VMEM)
-    stat_ref[:, :] = jnp.stack(
-        [rp, rp_rel, rd, rd_rel, pinf.astype(f32), dinf.astype(f32), nv, nvx],
-        axis=1,
-    )
+        # ---- dual infeasibility certificate (same float-mask style)
+        nvx = jnp.max(jnp.abs(dx), axis=1)
+        Pdx = jnp.dot(dx, pbar_ref[:, :], preferred_element_type=f32)
+        pdx_n = jnp.max(jnp.abs(Pdx), axis=1)
+        qv = (qbar_ref[:, :] * dx).sum(axis=1)
+        Adx = matvec_A(dx)
+        eps_b = eps_dinf * nvx[:, None]
+        up_viol = (jnp.maximum(Adx - eps_b, 0.0) * (1.0 - uinf)).max(axis=1)
+        lo_viol = (jnp.maximum(-eps_b - Adx, 0.0) * (1.0 - linf)).max(axis=1)
+        # up/lo violations are >= 0; ok iff exactly zero
+        dinf = (
+            jnp.maximum(jnp.sign(eps_dinf * nvx - pdx_n), 0.0)
+            * jnp.maximum(jnp.sign(-eps_dinf * nvx - qv), 0.0)
+            * (1.0 - jnp.sign(up_viol))
+            * (1.0 - jnp.sign(lo_viol))
+            * jnp.maximum(jnp.sign(nvx - eps_dinf), 0.0)
+        )
+
+        # single full-block store (Mosaic rejects scalar/column writes to VMEM)
+        stat_ref[:, :] = jnp.stack(
+            [rp, rp_rel, rd, rd_rel, pinf.astype(f32), dinf.astype(f32), nv, nvx],
+            axis=1,
+        )
+
+    @pl.when(jnp.logical_not(alive_any))
+    def _passthrough():
+        xo_ref[:, :] = x_ref[:, :]
+        yo_ref[:, :] = y_ref[:, :]
+        zo_ref[:, :] = z_ref[:, :]
+        stat_ref[:, :] = jnp.zeros((bt, 8), dtype=f32)
 
 
 def admm_chunk(
@@ -325,11 +344,14 @@ def admm_chunk(
     bt: int = 8,
     ir_steps: int = 1,
     interpret=None,
+    done=None,
 ):
     """Run ``n_iter`` fused ADMM iterations + termination diagnostics.
 
     Shapes: minv (B,nz,nz); coef (B,4); qbar/x (B,nz); lbar/ubar/rho/y/z (B,m);
     ak4 (4,m,nz); pbar (nz,nz); einv (m,); dinv (nz,).
+    ``done``: optional (B,) bool — tiles whose problems are all done skip the
+    chunk entirely (iterates pass through, stats zeroed).
     Returns (x, y, z, stats) with stats (B, 8).
     """
     if interpret is None:
@@ -337,6 +359,9 @@ def admm_chunk(
     B, nz = x.shape
     m = y.shape[1]
     assert B % bt == 0, (B, bt)
+    if done is None:
+        done = jnp.zeros((B,), dtype=bool)
+    done8 = jnp.broadcast_to(done.astype(x.dtype)[:, None], (B, 8))
     kern = functools.partial(
         _chunk_kernel,
         n_iter=n_iter,
@@ -374,6 +399,7 @@ def admm_chunk(
             tile(bt, m),  # linf
             tile(bt, m),  # ucap
             tile(bt, m),  # lcap
+            tile(bt, 8),  # done mask
             shared(4, m, nz),  # ak4
             shared(nz, nz),  # pbar
             shared(1, m),  # einv
@@ -396,5 +422,5 @@ def admm_chunk(
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(minv, coef, qbar, lbar, ubar, rho, x, y, z, uinf, linf, ucap, lcap,
-      ak4, pbar, einv.reshape(1, -1), dinv.reshape(1, -1))
+      done8, ak4, pbar, einv.reshape(1, -1), dinv.reshape(1, -1))
     return out

@@ -156,10 +156,11 @@ def _tick(engine: ContinuousEngine, carry: _CCarry, tick_in, noise_draws, subste
     dt = base.Ad.dtype
     n_sub = engine.n_sub
 
-    # --- QP solve + controller selection (identical machinery to discrete)
+    # --- QP solve + controller selection (identical machinery to discrete);
+    # dead scenarios are skipped inside the solver (see admm_solve)
     res = admm.admm_solve(
         base.prob, (carry.c1, carry.c2, carry.s), carry.l, carry.u,
-        carry.admm_state, base.settings,
+        carry.admm_state, base.settings, active=carry.alive,
     )
     solved = res.status == admm.SOLVED
     i0u = (dims.Nx + 1) * dims.nx

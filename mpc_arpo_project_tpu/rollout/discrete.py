@@ -301,7 +301,8 @@ def _step(engine: DiscreteEngine, carry: _Carry, step_in):
     ok_k = (dist_k <= engine.dist_tol) & (ang_k <= engine.ang_tol)
     succ = carry.succ | (alive & (i >= 1) & ok_k)
 
-    # --- QP solve (warm-started)
+    # --- QP solve (warm-started); dead scenarios are skipped inside the
+    # solver (batch iteration count is a max over problems — see admm_solve)
     res = admm.admm_solve(
         engine.prob,
         (carry.c1, carry.c2, carry.s),
@@ -309,6 +310,7 @@ def _step(engine: DiscreteEngine, carry: _Carry, step_in):
         carry.u,
         carry.admm_state,
         engine.settings,
+        active=alive,
     )
     solved = res.status == admm.SOLVED
 

@@ -292,6 +292,10 @@ int osqp_ref_solve(void* handle, double* x_out, double* y_out, int* iters_out) {
   const Settings& st = w->st;
   std::vector<double> rhs(n), xt(n), zt(m), ztmp(m), ynew(m), dx(n), dy(m),
       tmp_n(n), tmp_m(m);
+  // iterates at the last termination check: infeasibility certificates test
+  // the delta accumulated over the whole check interval (matches ops.admm /
+  // tools/osqp_ref.py — see ops.admm for the fp32 rationale)
+  std::vector<double> x_chk(w->x), y_chk(w->y);
   int status = kMaxIter;
   int it = 0;
   for (it = 1; it <= st.max_iter; ++it) {
@@ -303,21 +307,19 @@ int osqp_ref_solve(void* handle, double* x_out, double* y_out, int* iters_out) {
     chol_solve(w->L, xt.data(), n);
     matvec(w->As.data(), xt.data(), zt.data(), m, n);
     for (int j = 0; j < n; ++j) {
-      const double xn = st.alpha * xt[j] + (1 - st.alpha) * w->x[j];
-      dx[j] = xn - w->x[j];
-      w->x[j] = xn;
+      w->x[j] = st.alpha * xt[j] + (1 - st.alpha) * w->x[j];
     }
     for (int i = 0; i < m; ++i) {
       ztmp[i] = st.alpha * zt[i] + (1 - st.alpha) * w->z[i];
       double zn = ztmp[i] + w->y[i] / w->rho[i];
       zn = std::min(std::max(zn, w->ls[i]), w->us[i]);
-      ynew[i] = w->y[i] + w->rho[i] * (ztmp[i] - zn);
-      dy[i] = ynew[i] - w->y[i];
-      w->y[i] = ynew[i];
+      w->y[i] = w->y[i] + w->rho[i] * (ztmp[i] - zn);
       w->z[i] = zn;
     }
 
     if (it % st.check_every == 0 || it == st.max_iter) {
+      for (int j = 0; j < n; ++j) { dx[j] = w->x[j] - x_chk[j]; x_chk[j] = w->x[j]; }
+      for (int i = 0; i < m; ++i) { dy[i] = w->y[i] - y_chk[i]; y_chk[i] = w->y[i]; }
       // residuals (unscaled)
       matvec(w->As.data(), w->x.data(), tmp_m.data(), m, n);
       double rp = 0, rp_rel = 0;

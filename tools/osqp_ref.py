@@ -69,6 +69,8 @@ class OSQPRef:
         adaptive_rho_tol: float = 5.0,
         scaling_override=None,
         rho_boundary_only: bool = False,
+        stall_exit_chunks: int = 0,
+        stall_improve: float = 0.95,
     ):
         """``scaling_override=(D, E, c)`` pins the Ruiz scaling (e.g. to the
         nominal-problem scaling the batched TPU solver shares across a whole
@@ -96,6 +98,11 @@ class OSQPRef:
         self.adaptive_rho_interval = adaptive_rho_interval
         self.adaptive_rho_tol = adaptive_rho_tol
         self.rho_boundary_only = rho_boundary_only
+        # opt-in stall exit mirroring ops.admm (0 = off, the OSQP-faithful
+        # default): give up with 'max iterations' when neither residual has
+        # improved >= (1 - stall_improve) for stall_exit_chunks check windows
+        self.stall_exit_chunks = stall_exit_chunks
+        self.stall_improve = stall_improve
 
         if scaling_override is not None:
             D, E, c = scaling_override
@@ -278,6 +285,13 @@ class OSQPRef:
         status = "max iterations"
         it = 0
         rp = rd = np.inf
+        # iterates at the last termination check: the infeasibility
+        # certificates test the delta accumulated over the whole check
+        # interval (matches ops.admm / native/osqp_ref.cpp — see ops.admm for
+        # the fp32 rationale)
+        x_chk, y_chk = xbar.copy(), ybar.copy()
+        best_rp = best_rd = np.inf
+        last_prog_chunk = 0
         for it in range(1, self.max_iter + 1):
             rhs = self.sigma * xbar - self.qs + self.As.T @ (rho * zbar - ybar)
             xt = scipy.linalg.cho_solve(self._chol, rhs)
@@ -287,11 +301,12 @@ class OSQPRef:
             z_next = np.clip(z_tmp + ybar / rho, self.ls, self.us)
             y_next = ybar + rho * (z_tmp - z_next)
 
-            dx = x_next - xbar
-            dy = y_next - ybar
             xbar, ybar, zbar = x_next, y_next, z_next
 
             if it % self.check_every == 0 or it == self.max_iter:
+                dx = xbar - x_chk
+                dy = ybar - y_chk
+                x_chk, y_chk = xbar.copy(), ybar.copy()
                 rp, rp_rel, rd, rd_rel = self._residuals(xbar, ybar, zbar)
                 if rp <= self.eps_abs + self.eps_rel * rp_rel and rd <= self.eps_abs + self.eps_rel * rd_rel:
                     status = "solved"
@@ -302,6 +317,15 @@ class OSQPRef:
                 if self._dual_infeasible(dx):
                     status = "dual infeasible"
                     break
+                if self.stall_exit_chunks:
+                    chunk = it // self.check_every
+                    if rp <= self.stall_improve * best_rp or rd <= self.stall_improve * best_rd:
+                        last_prog_chunk = chunk
+                    if chunk - last_prog_chunk >= self.stall_exit_chunks:
+                        status = "max iterations"
+                        break
+                best_rp = min(best_rp, rp)
+                best_rd = min(best_rd, rd)
             if (
                 self.adaptive_rho
                 and not self.rho_boundary_only
