@@ -171,3 +171,67 @@ def test_warm_start_reduces_iterations(problem):
                                admm.init_state(p["prob"], B))
     assert int(res_warm.iters) <= int(res_cold.iters)
     assert np.all(np.asarray(res_warm.status) == admm.SOLVED)
+
+
+def test_active_mask_skips_problems(problem):
+    """admm_solve(active=...): inactive problems are frozen (iterates pass
+    through, status UNSOLVED) and never drag the batch iteration count."""
+    p = problem
+    B = 4
+    c1, c2, s = p["coeffs"]
+    coeffs = (jnp.full(B, c1, dtype=jnp.float64), jnp.full(B, c2, dtype=jnp.float64),
+              jnp.full(B, s, dtype=jnp.float64))
+    lB = jnp.tile(jnp.asarray(p["l"])[None], (B, 1))
+    uB = jnp.tile(jnp.asarray(p["u"])[None], (B, 1))
+    st0 = admm.init_state(p["prob"], B)
+    active = jnp.array([True, False, True, False])
+    res = admm.admm_solve(p["prob"], coeffs, lB, uB, st0, active=active)
+    st = np.asarray(res.status)
+    assert st[0] == admm.SOLVED and st[2] == admm.SOLVED
+    assert st[1] == admm.UNSOLVED and st[3] == admm.UNSOLVED
+    # frozen iterates: skipped problems keep their warm-start state
+    np.testing.assert_array_equal(np.asarray(res.state.xbar[1]),
+                                  np.asarray(st0.xbar[1]))
+    np.testing.assert_array_equal(np.asarray(res.state.ybar[3]),
+                                  np.asarray(st0.ybar[3]))
+    # all-inactive batch: zero chunks executed
+    res_none = admm.admm_solve(p["prob"], coeffs, lB, uB, st0,
+                               active=jnp.zeros(B, dtype=bool))
+    assert int(res_none.iters) == 0
+    # active results identical to an unmasked solve
+    res_full = admm.admm_solve(p["prob"], coeffs, lB, uB, st0)
+    np.testing.assert_allclose(np.asarray(res.x[0]), np.asarray(res_full.x[0]),
+                               atol=1e-12)
+
+
+def test_stall_exit_cuts_plateau(problem):
+    """Opt-in stall exit: a problem that makes no residual progress exits
+    with MAX_ITER well before the cap; converging problems are untouched."""
+    p = problem
+    dims = p["dims"]
+    # marginally-conflicting debris row: produces the plateau regime (neither
+    # converges nor yields a Farkas certificate quickly)
+    l2 = p["l"].copy()
+    for j in range(dims.Nb + 1):
+        l2[dims.n_eq + j * 5 + 4] = 1e3
+    u2 = p["u"].copy()
+    for j in range(dims.Nb + 1):
+        u2[dims.n_eq + j * 5 + 4] = 1e3 + 1e-6  # pin to a near-equality band
+    B = 2
+    c1, c2, s = p["coeffs"]
+    coeffs = (jnp.full(B, c1, dtype=jnp.float64), jnp.full(B, c2, dtype=jnp.float64),
+              jnp.full(B, s, dtype=jnp.float64))
+    lmix = jnp.stack([jnp.asarray(p["l"]), jnp.asarray(l2)])
+    umix = jnp.stack([jnp.asarray(p["u"]), jnp.asarray(u2)])
+    st = admm.ADMMSettings(max_iter=4000, stall_exit_chunks=8)
+    res = admm.admm_solve(p["prob"], coeffs, lmix, umix,
+                          admm.init_state(p["prob"], B, st), st)
+    s_arr = np.asarray(res.status)
+    assert s_arr[0] == admm.SOLVED
+    # the conflicted problem must terminate one way or another well under cap
+    assert s_arr[1] in (admm.PRIMAL_INFEASIBLE, admm.MAX_ITER)
+    assert int(res.iters) < 4000
+    # feasible member's solution unaffected by the stall machinery
+    res_ref = _solve_batch(p, p["l"], p["u"], B=1)
+    np.testing.assert_allclose(np.asarray(res.x[0]), np.asarray(res_ref.x[0]),
+                               atol=1e-10)
