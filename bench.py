@@ -93,6 +93,7 @@ def main():
         max_iter=int(os.environ.get("BENCH_MAX_ITER", "4000")),
         solve_mode=os.environ.get("BENCH_SOLVE_MODE", "pallas"),
         stall_exit_chunks=int(os.environ.get("BENCH_STALL", "12")),
+        adaptive_rho=os.environ.get("BENCH_ADAPTIVE_RHO", "1") == "1",
     )
     t0 = time.perf_counter()
     engine = discrete.build_engine(sim, mpc, fail, debris, settings=settings, dtype=jnp.float32)

@@ -87,7 +87,10 @@ class ADMMSettings(NamedTuple):
     solve_mode: str = "chol"
     ns_warm_iters: int = 3
     ns_cold_iters: int = 45
-    pallas_tile: int = 8
+    # batch-tile width for the fused kernels; 32 measured ~2x faster than 8
+    # at B=1024 (wider rows through the MXU weight path), still ~16 MB/tile
+    # double-buffered VMEM. _tile_width() halves it until it divides B.
+    pallas_tile: int = 32
     # iterative-refinement steps inside the Pallas solve: each step SQUARES
     # the effective inverse error, which both fixes fp32 floors and buys a
     # large staleness tolerance for the refresh gating below
@@ -101,11 +104,21 @@ class ADMMSettings(NamedTuple):
     # intervals. Marginally-infeasible QPs in this problem family plateau
     # (verified not to converge even at fp64 with 8000 iterations) yet evade
     # the Farkas certificate; the batch iteration count is a max over
-    # problems, so one plateaued problem otherwise drags every scenario in
-    # the batch to the cap. Closed-loop behavior is unchanged in kind: the
-    # step falls back to the failsafe exactly as the capped solve would.
+    # problems, so one plateaued problem otherwise drags every remaining
+    # control step to the iteration cap. Closed-loop behavior is unchanged
+    # in kind: the step falls back to the failsafe exactly as the capped
+    # solve would.
     stall_exit_chunks: int = 0
     stall_improve: float = 0.95
+    # overtime lane ('pallas' mode): once the active count fits in B // div
+    # slots, compact the stragglers (argsort gather) into a small batch and
+    # keep iterating there. Straggler QPs (cap-bound marginally-infeasible
+    # ones especially — 4-20% of steps in the flagship scenario) otherwise
+    # keep EVERY batch tile streaming its inverses through the MXU for
+    # thousands of iterations; per-problem math is independent, so
+    # compaction is exact. 0/1 disables; ignored when B // div is not
+    # meaningfully smaller than B.
+    overtime_div: int = 8
 
 
 class ADMMProblem(NamedTuple):
@@ -651,27 +664,69 @@ def _admm_solve_impl(prob, coeffs, l, u, state, settings, qbar, active=None):
     )
 
 
+def _tile_width(B: int, pallas_tile: int) -> int:
+    bt = max(1, pallas_tile)
+    while B % bt:
+        bt //= 2
+    return max(bt, 1)
+
+
 def _solve_pallas(prob, coeffs, lbar, ubar, state, settings, qbar, active):
     """Fused-chunk solve path: one Pallas kernel launch per check interval,
     Newton-Schulz inverse maintenance instead of factorization (see
-    ops.admm_pallas for the rationale)."""
+    ops.admm_pallas for the rationale).
+
+    Two lanes: a full-batch loop while most problems are working, then —
+    once the active count fits — stragglers are compacted into a ``B //
+    overtime_div`` buffer and iterated there. Per-problem math is
+    independent, so the gather/scatter is exact; it exists because the
+    4000-iteration cap-bound problems (the reference's own OSQP budget,
+    `trajectorySimulate.py:296` with default settings) otherwise keep every
+    tile of the full batch busy streaming inverses for the whole cap."""
     from mpc_arpo_project_tpu.ops import admm_pallas
 
     dt = prob.Pbar.dtype
     B = lbar.shape[0]
     nz = prob.Pbar.shape[0]
     m = prob.A0bar.shape[0]
-    bt = settings.pallas_tile if B % settings.pallas_tile == 0 else 1
+    bt = _tile_width(B, settings.pallas_tile)
     c1, c2, s = coeffs
     coef = jnp.stack([jnp.ones_like(c1), c1, c2, s], axis=1)
     ak4 = prob.AK.reshape(4, m, nz)
     sigma = float(settings.sigma)
 
-    def ns_refresh(minv, rho_scale, prev_ok):
-        M = _build_M(prob, coeffs, rho_scale, jnp.asarray(sigma, dtype=dt))
-        return admm_pallas.safe_inverse(
-            M, minv, prev_ok, settings.ns_warm_iters, settings.ns_cold_iters, bt=bt
-        )
+    # shared structure stack for IN-KERNEL normal-matrix construction:
+    # M_k = base + rho_k*(G + c1 F1 + c2 F2 + c1c2 F12 + s F3 + s^2 F33) —
+    # the batched (B, nz, nz) M tensor is never materialized in HBM and the
+    # refresh kernel skips tiles with no needy problem (see ns_fused)
+    ns_stack = jnp.concatenate(
+        [(prob.Pbar + sigma * jnp.eye(nz, dtype=dt))[None], prob.G[None],
+         prob.Fstack], axis=0)
+
+    def make_ns_refresh(coef_l, bt_l):
+        cc1, cc2, ss = coef_l[:, 1], coef_l[:, 2], coef_l[:, 3]
+
+        def ns_weights(rho_scale):
+            r = rho_scale
+            return jnp.stack(
+                [jnp.ones_like(r), r, r * cc1, r * cc2, r * cc1 * cc2,
+                 r * ss, r * ss * ss, jnp.zeros_like(r)], axis=1)
+
+        def ns_refresh(minv, rho_scale, needmask):
+            w = ns_weights(rho_scale)
+            Xw, r = admm_pallas.ns_fused(
+                ns_stack, w, minv, needmask,
+                n_iter=settings.ns_warm_iters, cold=False, bt=bt_l)
+            bad = needmask & ((r > 1e-2) | ~jnp.isfinite(r))
+            return jax.lax.cond(
+                jnp.any(bad),
+                lambda: admm_pallas.ns_fused(
+                    ns_stack, w, Xw, bad,
+                    n_iter=settings.ns_cold_iters, cold=True, bt=bt_l)[0],
+                lambda: Xw,
+            )
+
+        return ns_refresh
 
     # Refresh gating: without refinement, even a ~4e-3-stale inverse stalls
     # ADMM (measured), but each in-kernel IR step squares the inverse error,
@@ -688,9 +743,10 @@ def _solve_pallas(prob, coeffs, lbar, ubar, state, settings, qbar, active):
     ) & active  # skipped problems never refresh (a dead scenario NaN-marked
     # by a capped final solve would otherwise cold-start Newton-Schulz on
     # every remaining control step)
+    ns_refresh_full = make_ns_refresh(coef, bt)
     minv0 = jax.lax.cond(
         jnp.any(need),
-        lambda: ns_refresh(state.minv, state.rho_scale, ~need & state.minv_ok),
+        lambda: ns_refresh_full(state.minv, state.rho_scale, need),
         lambda: state.minv,
     )
     ref0 = jnp.where(
@@ -700,84 +756,104 @@ def _solve_pallas(prob, coeffs, lbar, ubar, state, settings, qbar, active):
     n_checks = settings.max_iter // settings.check_every
     adapt_stride = max(1, settings.adaptive_rho_interval // settings.check_every)
 
-    def cond(carry):
-        done, chunk = carry[5], carry[7]
-        return (~jnp.all(done)) & (chunk < n_checks)
+    def make_loop(coef_l, qbar_l, lbar_l, ubar_l, bt_l, stop_at=None):
+        """while_loop factory over a (possibly compacted) problem subset.
+        ``stop_at``: also exit once the active count fits that many slots."""
+        ns_refresh = make_ns_refresh(coef_l, bt_l)
 
-    def body(carry):
-        (x, y, z, _, _, done, status, chunk, minv, rho_scale,
-         best_rp, best_rd, last_prog) = carry
-        rho = rho_scale[:, None] * prob.rho_vec
-        x_n, y_n, z_n, stats = admm_pallas.admm_chunk(
-            minv, coef, qbar, lbar, ubar, rho, x, y, z, ak4, prob.Pbar,
-            prob.Einv, prob.Dinv,
-            done=done,
-            n_iter=settings.check_every,
-            sigma=sigma,
-            alpha=float(settings.alpha),
-            eps_pinf=float(settings.eps_pinf),
-            eps_dinf=float(settings.eps_dinf),
-            pinf_margin=float(settings.pinf_support_margin),
-            bt=bt,
-            ir_steps=settings.ir_steps,
-        )
-        cinv = 1.0 / prob.c
-        rp, rp_rel = stats[:, 0], stats[:, 1]
-        rd, rd_rel = cinv * stats[:, 2], cinv * stats[:, 3]
-        pinf = stats[:, 4] > 0
-        dinf = stats[:, 5] > 0
-        conv = (rp <= settings.eps_abs + settings.eps_rel * rp_rel) & (
-            rd <= settings.eps_abs + settings.eps_rel * rd_rel
-        )
-        new_status = jnp.where(
-            conv,
-            SOLVED,
-            jnp.where(pinf, PRIMAL_INFEASIBLE, jnp.where(dinf, DUAL_INFEASIBLE, UNSOLVED)),
-        ).astype(jnp.int32)
-        status = jnp.where(done, status, new_status)
-        newly_done = conv | pinf | dinf
-        keep = done[:, None]
-        x = jnp.where(keep, x, x_n)
-        y = jnp.where(keep, y, y_n)
-        z = jnp.where(keep, z, z_n)
-        done = done | newly_done
+        def cond(carry):
+            done, chunk = carry[5], carry[7]
+            go = (~jnp.all(done)) & (chunk < n_checks)
+            if stop_at is not None:
+                go &= jnp.sum(~done) > stop_at
+            return go
 
-        if settings.stall_exit_chunks:
-            improved = (rp <= settings.stall_improve * best_rp) | (
-                rd <= settings.stall_improve * best_rd
+        def body(carry):
+            (x, y, z, _, _, done, status, chunk, minv, rho_scale,
+             best_rp, best_rd, last_prog) = carry
+            rho = rho_scale[:, None] * prob.rho_vec
+            x_n, y_n, z_n, stats = admm_pallas.admm_chunk(
+                minv, coef_l, qbar_l, lbar_l, ubar_l, rho, x, y, z, ak4,
+                prob.Pbar, prob.Einv, prob.Dinv,
+                done=done,
+                n_iter=settings.check_every,
+                sigma=sigma,
+                alpha=float(settings.alpha),
+                eps_pinf=float(settings.eps_pinf),
+                eps_dinf=float(settings.eps_dinf),
+                pinf_margin=float(settings.pinf_support_margin),
+                bt=bt_l,
+                ir_steps=settings.ir_steps,
             )
-            last_prog = jnp.where(done | improved, chunk + 1, last_prog)
-            stalled = (~done) & (chunk + 1 - last_prog >= settings.stall_exit_chunks)
-            status = jnp.where(stalled, MAX_ITER, status)
-            done = done | stalled
-        best_rp = jnp.minimum(best_rp, rp)
-        best_rd = jnp.minimum(best_rd, rd)
+            cinv = 1.0 / prob.c
+            rp, rp_rel = stats[:, 0], stats[:, 1]
+            rd, rd_rel = cinv * stats[:, 2], cinv * stats[:, 3]
+            pinf = stats[:, 4] > 0
+            dinf = stats[:, 5] > 0
+            conv = (rp <= settings.eps_abs + settings.eps_rel * rp_rel) & (
+                rd <= settings.eps_abs + settings.eps_rel * rd_rel
+            )
+            new_status = jnp.where(
+                conv,
+                SOLVED,
+                jnp.where(pinf, PRIMAL_INFEASIBLE,
+                          jnp.where(dinf, DUAL_INFEASIBLE, UNSOLVED)),
+            ).astype(jnp.int32)
+            status = jnp.where(done, status, new_status)
+            newly_done = conv | pinf | dinf
+            keep = done[:, None]
+            x = jnp.where(keep, x, x_n)
+            y = jnp.where(keep, y, y_n)
+            z = jnp.where(keep, z, z_n)
+            done = done | newly_done
 
-        if settings.adaptive_rho:
-            num = rp / jnp.maximum(rp_rel, 1e-10)
-            den = jnp.maximum(rd / jnp.maximum(rd_rel, 1e-10), 1e-10)
-            ratio = jnp.sqrt(num / den)
-            trig = (
-                ((ratio > settings.adaptive_rho_tol)
-                 | (ratio < 1.0 / settings.adaptive_rho_tol))
-                & ~done
-                & ((chunk + 1) % adapt_stride == 0)
-            )
-            new_scale = jnp.where(trig, rho_scale * ratio, rho_scale)
-            new_scale = jnp.clip(
-                new_scale,
-                RHO_MIN / settings.rho_bar,
-                RHO_MAX / (settings.rho_bar * RHO_EQ_SCALE),
-            )
-            minv = jax.lax.cond(
-                jnp.any(trig),
-                lambda: ns_refresh(minv, new_scale, jnp.ones_like(trig)),
-                lambda: minv,
-            )
-            rho_scale = new_scale
+            if settings.stall_exit_chunks:
+                improved = (rp <= settings.stall_improve * best_rp) | (
+                    rd <= settings.stall_improve * best_rd
+                )
+                last_prog = jnp.where(done | improved, chunk + 1, last_prog)
+                stalled = (~done) & (
+                    chunk + 1 - last_prog >= settings.stall_exit_chunks)
+                status = jnp.where(stalled, MAX_ITER, status)
+                done = done | stalled
+            best_rp = jnp.minimum(best_rp, rp)
+            best_rd = jnp.minimum(best_rd, rd)
 
-        return (x, y, z, rp, rd, done, status, chunk + 1, minv, rho_scale,
-                best_rp, best_rd, last_prog)
+            if settings.adaptive_rho:
+                num = rp / jnp.maximum(rp_rel, 1e-10)
+                den = jnp.maximum(rd / jnp.maximum(rd_rel, 1e-10), 1e-10)
+                ratio = jnp.sqrt(num / den)
+                trig = (
+                    ((ratio > settings.adaptive_rho_tol)
+                     | (ratio < 1.0 / settings.adaptive_rho_tol))
+                    & ~done
+                    & ((chunk + 1) % adapt_stride == 0)
+                )
+                new_scale = jnp.where(trig, rho_scale * ratio, rho_scale)
+                new_scale = jnp.clip(
+                    new_scale,
+                    RHO_MIN / settings.rho_bar,
+                    RHO_MAX / (settings.rho_bar * RHO_EQ_SCALE),
+                )
+                minv = jax.lax.cond(
+                    jnp.any(trig),
+                    lambda: ns_refresh(minv, new_scale, trig),
+                    lambda: minv,
+                )
+                rho_scale = new_scale
+
+            return (x, y, z, rp, rd, done, status, chunk + 1, minv,
+                    rho_scale, best_rp, best_rd, last_prog)
+
+        return cond, body
+
+    # overtime-lane width: a multiple of the tile so the small loop tiles
+    # cleanly; disabled unless meaningfully smaller than the full batch
+    B2 = 0
+    if settings.overtime_div and settings.overtime_div > 1:
+        B2 = -(-(B // settings.overtime_div) // bt) * bt
+        if not (0 < B2 <= B // 2):
+            B2 = 0
 
     rp0 = jnp.full((B,), jnp.inf, dtype=dt)
     carry0 = (
@@ -795,8 +871,36 @@ def _solve_pallas(prob, coeffs, lbar, ubar, state, settings, qbar, active):
         rp0,  # best_rd
         jnp.zeros((B,), dtype=jnp.int32),  # last progress chunk
     )
+    cond1, body1 = make_loop(coef, qbar, lbar, ubar, bt,
+                             stop_at=B2 if B2 else None)
     (x, y, z, rp, rd, done, status, chunks, minv, rho_scale,
-     _, _, _) = jax.lax.while_loop(cond, body, carry0)
+     best_rp, best_rd, last_prog) = jax.lax.while_loop(cond1, body1, carry0)
+
+    if B2:
+        # compact stragglers to the front (stable argsort: done=False first;
+        # phase 1 only stops once they fit, so idx covers every active row)
+        order = jnp.argsort(done, stable=True)
+        idx = order[:B2]
+        bt2 = _tile_width(B2, settings.pallas_tile)
+        carry2 = (
+            x[idx], y[idx], z[idx], rp[idx], rd[idx], done[idx], status[idx],
+            chunks, minv[idx], rho_scale[idx], best_rp[idx], best_rd[idx],
+            last_prog[idx],
+        )
+        cond2, body2 = make_loop(coef[idx], qbar[idx], lbar[idx], ubar[idx],
+                                 bt2)
+        (x2, y2, z2, rp2, rd2, done2, status2, chunks, minv2, rho2,
+         _, _, _) = jax.lax.while_loop(cond2, body2, carry2)
+        x = x.at[idx].set(x2)
+        y = y.at[idx].set(y2)
+        z = z.at[idx].set(z2)
+        rp = rp.at[idx].set(rp2)
+        rd = rd.at[idx].set(rd2)
+        done = done.at[idx].set(done2)
+        status = status.at[idx].set(status2)
+        minv = minv.at[idx].set(minv2)
+        rho_scale = rho_scale.at[idx].set(rho2)
+
     status = jnp.where(done, status, MAX_ITER).astype(jnp.int32)
     # record the rho the inverse currently reflects (mid-solve adaptation
     # refreshed it on any trigger); NaN-mark problems that failed to converge

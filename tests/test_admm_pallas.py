@@ -173,3 +173,75 @@ def test_pallas_mode_full_rollout_matches_chol():
     mismatch = np.mean(a.ctrl_seq != b.ctrl_seq)
     assert mismatch < 0.15, f"controller-code mismatch fraction {mismatch}"
     np.testing.assert_allclose(a.x_true, b.x_true, atol=1.0)
+
+
+def test_ns_fused_masked_refresh(setup):
+    """ns_fused: in-kernel M construction must reproduce _build_M's inverse
+    (cold start), and rows with need=False must pass through untouched."""
+    p = setup
+    prob = p["prob"]
+    B = p["B"]
+    c1, c2, s = p["coeffs"]
+    sigma = 1e-6
+    rho_scale = jnp.ones(B, dtype=jnp.float64)
+    nz = prob.Pbar.shape[0]
+    stack = jnp.concatenate(
+        [(prob.Pbar + sigma * jnp.eye(nz, dtype=jnp.float64))[None],
+         prob.G[None], prob.Fstack], axis=0)
+    r = rho_scale
+    w = jnp.stack([jnp.ones_like(r), r, r * c1, r * c2, r * c1 * c2,
+                   r * s, r * s * s, jnp.zeros_like(r)], axis=1)
+    X_prev = jnp.tile(jnp.eye(nz, dtype=jnp.float64)[None], (B, 1, 1))
+    need = jnp.arange(B) % 2 == 0  # refresh even rows only
+    X, res = admm_pallas.ns_fused(stack, w, X_prev, need, n_iter=45, cold=True)
+    M = admm._build_M(prob, p["coeffs"], rho_scale, jnp.float64(sigma))
+    I = np.eye(nz)
+    # needy rows: true inverse of the structured M
+    err = np.abs(I - np.asarray(M[0]) @ np.asarray(X[0])).max()
+    assert err < 1e-10
+    assert float(np.asarray(res)[0]) < 1e-10
+    # non-needy rows: identity passed through, residual reads 0
+    np.testing.assert_array_equal(np.asarray(X[1]), I)
+    assert float(np.asarray(res)[1]) == 0.0
+    # all-skip tile path: nothing computed anywhere
+    X2, res2 = admm_pallas.ns_fused(stack, w, X_prev,
+                                    jnp.zeros(B, dtype=bool), n_iter=3, cold=False)
+    np.testing.assert_array_equal(np.asarray(X2), np.asarray(X_prev))
+    assert np.all(np.asarray(res2) == 0.0)
+
+
+def test_overtime_lane_matches_single_lane(setup):
+    """The compacted overtime lane must be exact: a B=16 batch with a mix of
+    easy (solved), infeasible, and near-boundary problems solved with
+    overtime_div=4 (phase switch at 4 slots) must reproduce the
+    single-lane solve's statuses and solutions bit-for-bit up to fp
+    tolerance — per-problem math is independent of batch position."""
+    p = setup
+    dims = p["dims"]
+    B = 16
+    c1, c2, s = p["coeffs"]
+    coeffs = tuple(jnp.tile(v[:1], B) for v in (c1, c2, s))
+    l = jnp.tile(p["l"][:1], (B, 1))
+    u = jnp.tile(p["u"][:1], (B, 1))
+    # make problems 3, 7, 12 primal infeasible (they grind / certify late),
+    # and perturb the rest so convergence iterations differ
+    l_np = np.asarray(l).copy()
+    for j in range(dims.Nb + 1):
+        l_np[[3, 7, 12], dims.n_eq + j * 5 + 4] = 1e3
+    l_np[1::2, :4] -= 0.005
+    l = jnp.asarray(l_np)
+    base = admm.ADMMSettings(solve_mode="pallas", pallas_tile=4, max_iter=2000)
+    st_one = base._replace(overtime_div=0)
+    st_two = base._replace(overtime_div=4)
+    r_one = admm.admm_solve(p["prob"], coeffs, l, u,
+                            admm.init_state(p["prob"], B, st_one), st_one)
+    r_two = admm.admm_solve(p["prob"], coeffs, l, u,
+                            admm.init_state(p["prob"], B, st_two), st_two)
+    np.testing.assert_array_equal(np.asarray(r_one.status),
+                                  np.asarray(r_two.status))
+    solved = np.asarray(r_one.status) == admm.SOLVED
+    np.testing.assert_allclose(np.asarray(r_one.x)[solved],
+                               np.asarray(r_two.x)[solved], atol=1e-9)
+    # warm-start state rows must come back unpermuted
+    np.testing.assert_allclose(np.asarray(r_one.state.xbar)[solved],
+                               np.asarray(r_two.state.xbar)[solved], atol=1e-9)

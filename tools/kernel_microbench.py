@@ -1,0 +1,96 @@
+"""Microbenchmark for the fused ADMM chunk kernel variants on the live TPU.
+
+Measures ms per 25-iteration chunk at a given batch size for combinations of
+(bt tile width, ir_steps). Device time is measured by pulling a scalar to the
+host (the only reliable sync on this backend — see CLAUDE.md).
+
+    python tools/kernel_microbench.py [--batch 1024] [--iters 25]
+"""
+import argparse
+import sys, os, time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=1024)
+    ap.add_argument("--iters", type=int, default=25)
+    ap.add_argument("--reps", type=int, default=5)
+    ap.add_argument("--done-frac", type=float, default=0.0,
+                    help="fraction of problems marked done (tile-skip path)")
+    ap.add_argument("--loop", type=int, default=20,
+                    help="chunks per jit call (device-side fori_loop) — "
+                    "amortizes the remote-dispatch round trip (~25 ms), which "
+                    "otherwise floors every single-call measurement")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    from mpc_arpo_project_tpu.ops import admm_pallas
+
+    B = args.batch
+    nz, m = 256, 512
+    key = jax.random.key(0)
+    ks = jax.random.split(key, 12)
+    f32 = jnp.float32
+    # well-conditioned synthetic data (spectra irrelevant for timing)
+    Mat = jax.random.normal(ks[0], (B, nz, nz), f32) * 0.01
+    minv = jnp.eye(nz, dtype=f32)[None] + 0.001 * (Mat + jnp.swapaxes(Mat, 1, 2))
+    coef = jnp.concatenate(
+        [jnp.ones((B, 1), f32), jax.random.normal(ks[1], (B, 3), f32)], axis=1)
+    qbar = jax.random.normal(ks[2], (B, nz), f32)
+    lbar = -jnp.abs(jax.random.normal(ks[3], (B, m), f32)) - 1.0
+    ubar = jnp.abs(jax.random.normal(ks[4], (B, m), f32)) + 1.0
+    rho = jnp.abs(jax.random.normal(ks[5], (B, m), f32)) + 0.1
+    x = jax.random.normal(ks[6], (B, nz), f32)
+    y = jax.random.normal(ks[7], (B, m), f32)
+    z = jax.random.normal(ks[8], (B, m), f32)
+    ak4 = jax.random.normal(ks[9], (4, m, nz), f32) * 0.1
+    pbar = jax.random.normal(ks[10], (nz, nz), f32) * 0.1
+    einv = jnp.ones((m,), f32)
+    dinv = jnp.ones((nz,), f32)
+    n_done = int(B * args.done_frac)
+    done = jnp.arange(B) < n_done
+
+    L = args.loop
+    for bt in (8, 16, 32):
+        if B % bt:
+            continue
+        for ir in (1, 2):
+            def run(minv, coef, qbar, lbar, ubar, rho, x, y, z, ak4, pbar,
+                    einv, dinv, _bt=bt, _ir=ir):
+                def body(_, carry):
+                    x, y, z = carry
+                    x, y, z, _ = admm_pallas.admm_chunk(
+                        minv, coef, qbar, lbar, ubar, rho, x, y, z, ak4,
+                        pbar, einv, dinv, n_iter=args.iters, sigma=1e-6,
+                        alpha=1.6, eps_pinf=1e-4, eps_dinf=1e-4,
+                        pinf_margin=1.0, bt=_bt, ir_steps=_ir,
+                        interpret=False, done=done)
+                    return x, y, z
+                x, y, z = jax.lax.fori_loop(0, L, body, (x, y, z))
+                return x[0, 0]
+            fn = jax.jit(run)
+            try:
+                a = (minv, coef, qbar, lbar, ubar, rho, x, y, z, ak4,
+                     pbar, einv, dinv)
+                float(np.asarray(fn(*a)))  # compile + sync
+                ts = []
+                for _ in range(args.reps):
+                    t0 = time.perf_counter()
+                    float(np.asarray(fn(*a)))
+                    ts.append(time.perf_counter() - t0)
+                best = min(ts) * 1e3 / L
+                per_iter = best / args.iters
+                print(f"bt={bt:2d} ir={ir} done={args.done_frac:.2f}: "
+                      f"{best:7.2f} ms/chunk  {per_iter:6.3f} ms/iter "
+                      f"({per_iter/B*1e6:7.2f} ns/iter/problem)")
+            except Exception as e:  # noqa: BLE001
+                print(f"bt={bt:2d} ir={ir}: FAILED {type(e).__name__}: {str(e)[:120]}")
+
+
+if __name__ == "__main__":
+    main()
