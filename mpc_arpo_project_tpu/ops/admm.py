@@ -554,7 +554,7 @@ def _admm_solve_impl(prob, coeffs, l, u, state, settings, qbar, active=None):
         return (~jnp.all(done)) & (chunk < n_checks)
 
     def body(carry):
-        (x, y, z, _, _, done, status, chunk, L, rho_scale,
+        (x, y, z, rp_prev, rd_prev, done, status, chunk, L, rho_scale,
          best_rp, best_rd, last_prog) = carry
         (x_n, y_n, z_n, _, _), _ = jax.lax.scan(
             one_iter,
@@ -574,6 +574,10 @@ def _admm_solve_impl(prob, coeffs, l, u, state, settings, qbar, active=None):
         dx = x_n - x
         dy = y_n - y
         rp, rp_rel, rd, rd_rel = residuals(x_n, y_n, z_n)
+        # done problems keep the residuals they finished at (x_n keeps
+        # drifting for them; their iterates are frozen below)
+        rp = jnp.where(done, rp_prev, rp)
+        rd = jnp.where(done, rd_prev, rd)
         conv = (rp <= settings.eps_abs + settings.eps_rel * rp_rel) & (
             rd <= settings.eps_abs + settings.eps_rel * rd_rel
         )
@@ -714,27 +718,36 @@ def _solve_pallas(prob, coeffs, lbar, ubar, state, settings, qbar, active):
 
         def ns_refresh(minv, rho_scale, needmask):
             w = ns_weights(rho_scale)
-            Xw, r = admm_pallas.ns_fused(
+            return admm_pallas.masked_safe_refresh(
                 ns_stack, w, minv, needmask,
-                n_iter=settings.ns_warm_iters, cold=False, bt=bt_l)
-            bad = needmask & ((r > 1e-2) | ~jnp.isfinite(r))
-            return jax.lax.cond(
-                jnp.any(bad),
-                lambda: admm_pallas.ns_fused(
-                    ns_stack, w, Xw, bad,
-                    n_iter=settings.ns_cold_iters, cold=True, bt=bt_l)[0],
-                lambda: Xw,
-            )
+                warm_iters=settings.ns_warm_iters,
+                cold_iters=settings.ns_cold_iters, bt=bt_l)
 
         return ns_refresh
+
+    # Defensive iterate sanitation: a previous solve that diverged to inf/NaN
+    # (fp32 overflow along an infeasibility ray, or a since-fixed inverse
+    # poisoning) would otherwise warm-start every later step non-finite and
+    # permanently pin that scenario at MAX_ITER. Reset such rows to a cold
+    # start; the chol/oracle path is exact and never produces them.
+    it_finite = (
+        jnp.isfinite(state.xbar).all(axis=1)
+        & jnp.isfinite(state.ybar).all(axis=1)
+        & jnp.isfinite(state.zbar).all(axis=1)
+    )
+    xbar0 = jnp.where(it_finite[:, None], state.xbar, 0.0)
+    ybar0 = jnp.where(it_finite[:, None], state.ybar, 0.0)
+    zbar0 = jnp.where(it_finite[:, None], state.zbar, 0.0)
 
     # Refresh gating: without refinement, even a ~4e-3-stale inverse stalls
     # ADMM (measured), but each in-kernel IR step squares the inverse error,
     # so with ir_steps >= 2 the inverse may drift ~5% between refreshes.
     # Refresh on funnel-sign flips, slope drift beyond ns_refresh_drift, rho
-    # rescale, cold state, or the NaN mark left by a non-converged solve.
+    # rescale, cold state, the NaN mark left by a non-converged solve, or a
+    # non-finite warm-start iterate (see sanitation above).
     rc = state.ref_coef
     need = (
+        (~it_finite) |
         (rc[:, 0] != c1)
         | (rc[:, 1] != c2)
         | ~(jnp.abs(rc[:, 2] - s) <= settings.ns_refresh_drift * (1.0 + jnp.abs(rc[:, 2])))
@@ -769,7 +782,7 @@ def _solve_pallas(prob, coeffs, lbar, ubar, state, settings, qbar, active):
             return go
 
         def body(carry):
-            (x, y, z, _, _, done, status, chunk, minv, rho_scale,
+            (x, y, z, rp_prev, rd_prev, done, status, chunk, minv, rho_scale,
              best_rp, best_rd, last_prog) = carry
             rho = rho_scale[:, None] * prob.rho_vec
             x_n, y_n, z_n, stats = admm_pallas.admm_chunk(
@@ -786,8 +799,12 @@ def _solve_pallas(prob, coeffs, lbar, ubar, state, settings, qbar, active):
                 ir_steps=settings.ir_steps,
             )
             cinv = 1.0 / prob.c
-            rp, rp_rel = stats[:, 0], stats[:, 1]
-            rd, rd_rel = cinv * stats[:, 2], cinv * stats[:, 3]
+            # done problems keep their last true residuals: skipped tiles emit
+            # zeroed stats blocks, which would otherwise read as a perfect
+            # residual in diagnostics (ADVICE r1)
+            rp = jnp.where(done, rp_prev, stats[:, 0])
+            rd = jnp.where(done, rd_prev, cinv * stats[:, 2])
+            rp_rel, rd_rel = stats[:, 1], cinv * stats[:, 3]
             pinf = stats[:, 4] > 0
             dinf = stats[:, 5] > 0
             conv = (rp <= settings.eps_abs + settings.eps_rel * rp_rel) & (
@@ -857,9 +874,9 @@ def _solve_pallas(prob, coeffs, lbar, ubar, state, settings, qbar, active):
 
     rp0 = jnp.full((B,), jnp.inf, dtype=dt)
     carry0 = (
-        state.xbar,
-        state.ybar,
-        state.zbar,
+        xbar0,
+        ybar0,
+        zbar0,
         rp0,
         rp0,
         ~active,  # inactive problems start done (status UNSOLVED, frozen)

@@ -204,6 +204,30 @@ def ns_fused(stack, w, X_prev, need, *, n_iter: int, cold: bool, bt: int = 8,
     return X, res[:, 0]
 
 
+def masked_safe_refresh(ns_stack, w, X_prev, need, *, warm_iters: int,
+                        cold_iters: int, bt: int = 8, interpret=None):
+    """Warm masked NS refresh with overflow-recovering cold restarts.
+
+    The in-kernel blend ``nd*Xf + (1-nd)*x_ref`` obeys IEEE 0*inf=NaN: a warm
+    pass that overflows fp32 (e.g. a large adaptive-rho jump pushes the stale
+    inverse outside Newton-Schulz's convergence basin) leaves non-finite rows
+    that a plain cold re-call can never repair — the cold kernel recomputes a
+    good Xf but the blend re-NaNs it against the poisoned x_ref. Bad rows are
+    therefore zeroed in XLA (where boolean selects are fine) before the cold
+    restart, making recovery unconditional. See ADVICE r1 (high).
+    """
+    Xw, r = ns_fused(ns_stack, w, X_prev, need, n_iter=warm_iters, cold=False,
+                     bt=bt, interpret=interpret)
+    bad = need & ((r > 1e-2) | ~jnp.isfinite(r))
+    Xw = jnp.where(bad[:, None, None], 0.0, Xw)
+
+    def cold():
+        return ns_fused(ns_stack, w, Xw, bad, n_iter=cold_iters, cold=True,
+                        bt=bt, interpret=interpret)[0]
+
+    return jax.lax.cond(jnp.any(bad), cold, lambda: Xw)
+
+
 def safe_inverse(M, X_prev, prev_ok, warm_iters: int, cold_iters: int, bt: int = 8):
     """Warm-refresh the inverse; selectively cold-restart problems whose
     refreshed residual is bad (large M changes — rho jumps, sign flips — put

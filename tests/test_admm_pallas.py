@@ -245,3 +245,71 @@ def test_overtime_lane_matches_single_lane(setup):
     # warm-start state rows must come back unpermuted
     np.testing.assert_allclose(np.asarray(r_one.state.xbar)[solved],
                                np.asarray(r_two.state.xbar)[solved], atol=1e-9)
+
+
+def test_masked_refresh_recovers_from_warm_overflow(setup):
+    """ADVICE r1 (high): a warm NS pass that overflows fp32/fp64 leaves
+    non-finite rows; the kernel blend nd*Xf + (1-nd)*x_ref re-NaNs them on the
+    cold retry (IEEE 0*inf=NaN), so plain ns_fused never recovers.
+    masked_safe_refresh must sanitize bad rows and recover unconditionally."""
+    p = setup
+    prob = p["prob"]
+    B = p["B"]
+    c1, c2, s = p["coeffs"]
+    sigma = 1e-6
+    nz = prob.Pbar.shape[0]
+    stack = jnp.concatenate(
+        [(prob.Pbar + sigma * jnp.eye(nz, dtype=jnp.float64))[None],
+         prob.G[None], prob.Fstack], axis=0)
+    r = jnp.ones(B, dtype=jnp.float64)
+    w = jnp.stack([jnp.ones_like(r), r, r * c1, r * c2, r * c1 * c2,
+                   r * s, r * s * s, jnp.zeros_like(r)], axis=1)
+    # poison row 0 with a huge warm start (diverges doubly-exponentially to
+    # inf within 3 NS iterations) and row 2 with NaN outright
+    M = np.asarray(admm._build_M(prob, p["coeffs"], r, jnp.float64(sigma)))
+    X_good = np.linalg.inv(M[0])
+    X_prev = np.tile(X_good[None], (B, 1, 1))
+    X_prev[0] *= 1e200
+    X_prev[2] = np.nan
+    X_prev = jnp.asarray(X_prev)
+    need = jnp.asarray([True, False, True, False] * (B // 4))
+
+    # precondition: the plain warm+cold ns_fused sequence cannot recover
+    Xw, rw = admm_pallas.ns_fused(stack, w, X_prev, need, n_iter=3, cold=False)
+    bad = need & ((rw > 1e-2) | ~jnp.isfinite(rw))
+    assert bool(bad[0]) and bool(bad[2])
+    Xc, _ = admm_pallas.ns_fused(stack, w, Xw, bad, n_iter=45, cold=True)
+    assert not np.isfinite(np.asarray(Xc[0])).all()  # the bug being fixed
+
+    # the fix: masked_safe_refresh recovers every row
+    X = admm_pallas.masked_safe_refresh(stack, w, X_prev, need,
+                                        warm_iters=3, cold_iters=45)
+    X = np.asarray(X)
+    assert np.isfinite(X).all()
+    I = np.eye(nz)
+    for row in (0, 2):  # recovered to a true inverse
+        assert np.abs(I - M[row] @ X[row]).max() < 1e-8
+    np.testing.assert_array_equal(X[1], np.asarray(X_prev[1]))  # passthrough
+
+
+def test_pallas_solve_recovers_from_poisoned_state(setup):
+    """Non-finite warm-start iterates (fp32 overflow in a previous capped
+    solve) must be sanitized at solve entry instead of permanently pinning the
+    scenario at MAX_ITER."""
+    p = setup
+    st_p = admm.ADMMSettings(solve_mode="pallas")
+    state = admm.init_state(p["prob"], p["B"], st_p)
+    r1 = admm.admm_solve(p["prob"], p["coeffs"], p["l"], p["u"], state, st_p)
+    assert np.all(np.asarray(r1.status) == admm.SOLVED)
+    # poison rows 0 and 3 of the warm-start state as a diverged solve would
+    s1 = r1.state
+    xb = np.asarray(s1.xbar).copy(); xb[0] = np.nan
+    yb = np.asarray(s1.ybar).copy(); yb[3] = np.inf
+    mv = np.asarray(s1.minv).copy(); mv[0] = np.nan
+    poisoned = s1._replace(xbar=jnp.asarray(xb), ybar=jnp.asarray(yb),
+                           minv=jnp.asarray(mv))
+    r2 = admm.admm_solve(p["prob"], p["coeffs"], p["l"], p["u"], poisoned, st_p)
+    assert np.all(np.asarray(r2.status) == admm.SOLVED)
+    assert np.isfinite(np.asarray(r2.x)).all()
+    np.testing.assert_allclose(np.asarray(r2.x)[0], np.asarray(r1.x)[0],
+                               atol=1e-6)

@@ -71,6 +71,7 @@ class OSQPRef:
         rho_boundary_only: bool = False,
         stall_exit_chunks: int = 0,
         stall_improve: float = 0.95,
+        cert_single_iter_delta: bool = False,
     ):
         """``scaling_override=(D, E, c)`` pins the Ruiz scaling (e.g. to the
         nominal-problem scaling the batched TPU solver shares across a whole
@@ -103,6 +104,14 @@ class OSQPRef:
         # improved >= (1 - stall_improve) for stall_exit_chunks check windows
         self.stall_exit_chunks = stall_exit_chunks
         self.stall_improve = stall_improve
+        # Upstream OSQP tests the infeasibility certificates on the
+        # SINGLE-iteration delta; ops.admm (and this oracle by default) test
+        # the delta accumulated over a whole check interval, which is
+        # behaviorally equivalent downstream (any non-solved status triggers
+        # the reference failsafe) but can flip infeasible-vs-max_iter labels.
+        # Set True to restore the upstream semantics for cross-validation
+        # against the real `osqp` package (ADVICE r1).
+        self.cert_single_iter_delta = cert_single_iter_delta
 
         if scaling_override is not None:
             D, E, c = scaling_override
@@ -300,6 +309,9 @@ class OSQPRef:
             z_tmp = self.alpha * zt + (1 - self.alpha) * zbar
             z_next = np.clip(z_tmp + ybar / rho, self.ls, self.us)
             y_next = ybar + rho * (z_tmp - z_next)
+
+            if self.cert_single_iter_delta:
+                x_chk, y_chk = xbar, ybar  # previous iterate, upstream-style
 
             xbar, ybar, zbar = x_next, y_next, z_next
 
