@@ -19,6 +19,9 @@ def main():
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--quick", action="store_true", help="3 noise lengths, short horizon")
     ap.add_argument("--max-iter", type=int, default=1000)
+    ap.add_argument("--per-setting", action="store_true",
+                    help="legacy path: one engine build per noise length/arm "
+                         "(default is the fused one-compile study)")
     args = ap.parse_args()
 
     import jax
@@ -46,11 +49,24 @@ def main():
     from mpc_arpo_project_tpu.ops import admm
 
     dtype = jnp.float64 if args.cpu else jnp.float32
-    nls, ratios = mc.disturbance_rejection_study(
-        sim_norej, sim_rej, mpc, fail, debris, noise_lengths, args.runs,
-        jax.random.key(0), dtype=dtype,
-        settings=admm.ADMMSettings(max_iter=args.max_iter),
-    )
+    import time
+    t0 = time.time()
+    if args.per_setting:
+        nls, ratios = mc.disturbance_rejection_study(
+            sim_norej, sim_rej, mpc, fail, debris, noise_lengths, args.runs,
+            jax.random.key(0), dtype=dtype,
+            settings=admm.ADMMSettings(max_iter=args.max_iter),
+        )
+    else:
+        # fused: hold-length -> per-scenario noise data, reject switch ->
+        # per-scenario array; ONE engine build + ONE compile for the grid
+        nls, ratios = mc.disturbance_rejection_study_fused(
+            sim_rej, mpc, fail, debris, noise_lengths, args.runs,
+            jax.random.key(0), dtype=dtype,
+            settings=admm.ADMMSettings(max_iter=args.max_iter),
+        )
+    print(f"study wall: {time.time()-t0:.1f}s "
+          f"({'per-setting' if args.per_setting else 'fused one-compile'})")
     for nl, r in zip(nls, ratios):
         print(f"noise_length={nl:6.0f} steps ({nl * sim_rej.time_stp:6.1f}s): "
               f"final-distance ratio (reject/no-reject) = {r:.3f}")

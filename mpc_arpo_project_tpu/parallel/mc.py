@@ -16,6 +16,7 @@ randomness.
 
 from __future__ import annotations
 
+import functools
 import json
 import os
 from typing import NamedTuple, Optional
@@ -192,6 +193,63 @@ def success_rate_study(
     batched: N offset-free noisy runs, count successes."""
     engine = discrete.build_engine(sim, mpc, fail, debris, **engine_kw)
     return run_sweep(engine, n_runs, chunk, key, mesh=mesh)
+
+
+def disturbance_rejection_study_fused(
+    sim,
+    mpc,
+    fail,
+    debris,
+    noise_lengths,
+    runs_per_setting: int,
+    key,
+    mesh=None,
+    **engine_kw,
+):
+    """The disturbance-rejection study (`test/disturbRejComp.py:74-108`) as
+    ONE batched program: noise hold-length becomes per-scenario noise *data*
+    (``make_noise_sequence_multi``) and the offset-free switch a per-scenario
+    ``is_reject`` array, so the full (lengths x runs x 2 arms) grid runs under
+    a single engine build and a single compile — vs. 2 x len(noise_lengths)
+    engine builds (~20 s each) for the per-setting path. Common random
+    numbers across arms as in :func:`disturbance_rejection_study`.
+
+    Returns (noise_lengths, dist_ratios).
+    """
+    import dataclasses
+
+    L = len(noise_lengths)
+    R = runs_per_setting
+    sim_rej = dataclasses.replace(sim, isReject=True)
+    engine = discrete.build_engine(sim_rej, mpc, fail, debris, **engine_kw)
+    hold = np.repeat(np.asarray(noise_lengths, dtype=np.int64), R)  # (L*R,)
+    noise_half = discrete.make_noise_sequence_multi(engine, key, hold)
+    noise_seq = jnp.concatenate([noise_half, noise_half], axis=1)  # (T, 2LR, 4)
+    dt = engine.sig_diag.dtype
+    is_rej = jnp.concatenate(
+        [jnp.ones(L * R, dtype=dt), jnp.zeros(L * R, dtype=dt)]
+    )
+
+    if mesh is None:
+        mesh = mesh_lib.make_mesh()
+    noise_sh = mesh_lib.batch_sharding(mesh, batch_axis=1)
+    arg_sh = mesh_lib.batch_sharding(mesh, batch_axis=0)
+    repl = mesh_lib.replicated(mesh)
+    eng_sh = jax.tree.map(lambda _: repl, engine)
+
+    @functools.partial(
+        jax.jit,
+        in_shardings=(eng_sh, noise_sh, arg_sh),
+        out_shardings=repl,
+    )
+    def run(e, ns, rej):
+        out = discrete.rollout(e, ns, is_reject_b=rej)
+        fd = _final_distance(out, e.xr)  # (2LR,)
+        return fd.reshape(2, L, R).sum(axis=-1)  # (2, L) sums over runs
+
+    sums = np.asarray(run(engine, noise_seq, is_rej))
+    ratios = sums[0] / np.maximum(sums[1], 1e-12)
+    return np.asarray(noise_lengths), ratios
 
 
 def disturbance_rejection_study(

@@ -105,12 +105,17 @@ def build_engine(
     debris: Optional[Debris],
     settings: admm.ADMMSettings = admm.ADMMSettings(),
     dtype=jnp.float32,
+    synthesis: str = "scipy",
 ) -> DiscreteEngine:
     """Host-side engine construction (once per scenario family).
 
-    Synthesis runs in float64 NumPy/JAX-CPU precision and is cast to ``dtype``
-    so fp32 rollouts use fp64-accurate gains (the reference synthesizes in
-    float64 throughout)."""
+    Synthesis runs in float64 precision and is cast to ``dtype`` so fp32
+    rollouts use fp64-accurate gains (the reference synthesizes in float64
+    throughout). ``synthesis`` selects the backend: 'scipy' (LAPACK DARE /
+    acker via tools/ref_sim, the default) or 'jax' (the in-graph structured-
+    doubling DARE + Ackermann of ``ops.riccati`` on the CPU backend — the
+    jittable/vmappable path promised by SURVEY §5.6; pinned against the scipy
+    goldens in tests/test_riccati.py)."""
     T = sim.time_stp
     dims = QPDims(Nx=mpc.Nx, Nc=mpc.Nc, Nb=mpc.Nb)
 
@@ -118,7 +123,21 @@ def build_engine(
     from tools import ref_sim as _synth  # NumPy/SciPy float64 path
 
     Ad, Bd = _synth.discretize_np(sim.mean_mtn, T, sim.isDeltaV)
-    K, QN, Kpf, Kif, K_total, K_i = _synth.synth_gains_np(Ad, Bd, mpc, fail)
+    if synthesis == "jax":
+        cpu = jax.devices("cpu")[0]
+        with jax.default_device(cpu):
+            f64 = jnp.float64  # honored when jax_enable_x64 is on
+            Adj, Bdj = jnp.asarray(Ad, f64), jnp.asarray(Bd, f64)
+            Kj, QNj = riccati.dlqr(Adj, Bdj, jnp.asarray(mpc.Q_state, f64),
+                                   jnp.asarray(mpc.R_input, f64))
+            _, Kpfj, Kifj = riccati.dlqr_integral(
+                Adj, Bdj, jnp.asarray(fail.Q_fail, f64),
+                jnp.asarray(fail.R_fail, f64), jnp.asarray(fail.C_int, f64))
+            Ktj, Kij = riccati.deadbeat_debris_gains(Adj, Bdj)
+        K, QN, Kpf, Kif, K_total, K_i = (
+            np.asarray(v) for v in (Kj, QNj, Kpfj, Kifj, Ktj, Kij))
+    else:
+        K, QN, Kpf, Kif, K_total, K_i = _synth.synth_gains_np(Ad, Bd, mpc, fail)
     static = build_qp(dims, sim, mpc, Ad, Bd, K, QN)
     # Equilibrate on the INITIAL constraint matrix, exactly as the reference's
     # OSQP setup does (scaling is computed once, at setup, with the initial A;
@@ -207,6 +226,26 @@ def make_noise_sequence(engine: DiscreteEngine, key, batch: int) -> jnp.ndarray:
     return scaled[idx]
 
 
+def make_noise_sequence_multi(
+    engine: DiscreteEngine, key, hold_lengths: np.ndarray
+) -> jnp.ndarray:
+    """(T, B, 4) held-noise sequence with a PER-SCENARIO hold length.
+
+    The reference's noise hold-length (`Noise.noise_length`,
+    `trajectorySimulate.py:351-356`) only shapes the noise *data*, not the
+    program — so a sweep over hold lengths (`test/disturbRejComp.py:77-88`)
+    can run as ONE batch under one compiled rollout instead of one engine
+    rebuild per length. ``hold_lengths``: (B,) ints.
+    """
+    hold = np.asarray(hold_lengths, dtype=np.int64)
+    B = hold.shape[0]
+    n_draws = int(engine.nsim // max(int(hold.min()), 1) + 2)
+    draws = jax.random.normal(key, (n_draws, B, 4), dtype=engine.sig_diag.dtype)
+    scaled = draws * engine.sig_diag[None, None, :]
+    idx = jnp.arange(engine.nsim)[:, None] // jnp.asarray(hold)[None, :]  # (T, B)
+    return jnp.take_along_axis(scaled, idx[:, :, None], axis=0)
+
+
 def noise_sequence_from_draws(engine: DiscreteEngine, draws: np.ndarray) -> jnp.ndarray:
     """Build the (T, B, 4) sequence from explicit standard-normal draws
     (n_draws, B, 4) — used by parity tests to feed the oracle's exact noise."""
@@ -233,9 +272,14 @@ class _Carry(NamedTuple):
     succ: jnp.ndarray  # (B,) bool — incremental success scan
 
 
-def _init_carry(engine: DiscreteEngine, batch: int, x0b: jnp.ndarray) -> _Carry:
+def _init_carry(
+    engine: DiscreteEngine, batch: int, x0b: jnp.ndarray,
+    is_reject_b: Optional[jnp.ndarray] = None,
+) -> _Carry:
     dims = engine.dims
     dt = engine.Ad.dtype
+    if is_reject_b is None:
+        is_reject_b = jnp.broadcast_to(engine.geom.is_reject, (batch,))
     xest0 = jnp.concatenate([x0b, jnp.zeros((batch, 2), dtype=dt)], axis=1)
     P0 = jnp.zeros((6, 6), dtype=dt).at[:4, :4].set(1e-20 * jnp.eye(4, dtype=dt))
     P0 = P0.at[4:, 4:].set(jnp.eye(2, dtype=dt))
@@ -245,10 +289,10 @@ def _init_carry(engine: DiscreteEngine, batch: int, x0b: jnp.ndarray) -> _Carry:
     # temp copy, so the in-track swap does not leak into the stored estimate
     dyn = jax.vmap(lambda e: constraints.configure(engine.geom, e))(xest0)
     lineq, uineq = jax.vmap(
-        lambda d, e: constraints.assemble_bounds(
-            d, e, dims, engine.umin, engine.umax, engine.geom.is_reject
+        lambda d, e, r: constraints.assemble_bounds(
+            d, e, dims, engine.umin, engine.umax, r
         )
-    )(dyn, xest0)
+    )(dyn, xest0, is_reject_b)
     leq = jnp.broadcast_to(
         jnp.concatenate([jnp.zeros(4, dtype=dt), engine.leq0[4:]]), (batch, dims.n_eq)
     )
@@ -275,8 +319,13 @@ def _init_carry(engine: DiscreteEngine, batch: int, x0b: jnp.ndarray) -> _Carry:
     )
 
 
-def _step(engine: DiscreteEngine, carry: _Carry, step_in):
+def _step(engine: DiscreteEngine, carry: _Carry, step_in,
+          is_reject_b: Optional[jnp.ndarray] = None):
     i, noise_i = step_in
+    if is_reject_b is None:
+        is_reject_b = jnp.broadcast_to(
+            engine.geom.is_reject, carry.x_true.shape[:1]
+        )
     dims = engine.dims
     dt = engine.Ad.dtype
     B = carry.x_true.shape[0]
@@ -384,10 +433,10 @@ def _step(engine: DiscreteEngine, carry: _Carry, step_in):
     # --- bound + constraint updates (`:340-348`)
     dyn = jax.vmap(lambda ee: constraints.configure(engine.geom, ee))(xest_next)
     lineq, uineq = jax.vmap(
-        lambda d, ee: constraints.assemble_bounds(
-            d, ee, dims, engine.umin, engine.umax, engine.geom.is_reject
+        lambda d, ee, r: constraints.assemble_bounds(
+            d, ee, dims, engine.umin, engine.umax, r
         )
-    )(dyn, xest_next)
+    )(dyn, xest_next, is_reject_b)
     l_new = carry.l.at[:, :4].set(-xest_next[:, :4])
     u_new = carry.u.at[:, :4].set(-xest_next[:, :4])
     l_new = l_new.at[:, dims.n_eq :].set(lineq)
@@ -439,6 +488,7 @@ def rollout(
     engine: DiscreteEngine,
     noise_seq: jnp.ndarray,
     x0b: Optional[jnp.ndarray] = None,
+    is_reject_b: Optional[jnp.ndarray] = None,
 ) -> RolloutOut:
     """Run the full closed loop for a scenario batch.
 
@@ -446,6 +496,9 @@ def rollout(
         noise_seq: (T, B, 4) pre-scaled noise sequence (see
             ``make_noise_sequence``; zeros for noiseless runs).
         x0b: optional (B, 4) initial states; defaults to the engine's x0.
+        is_reject_b: optional (B,) per-scenario offset-free switch (0./1.) —
+            overrides the engine's scalar, so reject / no-reject study arms
+            (`test/disturbRejComp.py:87-88`) share one compiled program.
     """
     T, B = noise_seq.shape[0], noise_seq.shape[1]
     assert T == engine.nsim
@@ -454,9 +507,11 @@ def rollout(
     # full-precision matmuls throughout (TPU MXU defaults to bf16 multiplies,
     # which breaks solver convergence and estimator accuracy in fp32)
     with jax.default_matmul_precision("highest"):
-        carry0 = _init_carry(engine, B, x0b)
+        carry0 = _init_carry(engine, B, x0b, is_reject_b)
         steps = (jnp.arange(T, dtype=jnp.int32), noise_seq)
-        carry, outs = jax.lax.scan(lambda c, x: _step(engine, c, x), carry0, steps)
+        carry, outs = jax.lax.scan(
+            lambda c, x: _step(engine, c, x, is_reject_b), carry0, steps
+        )
     x_true_s, xest_s, ctrl_s, noise_s, code_s, status_s, iters_s = outs
 
     # prepend initial column (reference stores initial conditions at index 0)
@@ -486,6 +541,7 @@ def rollout_chunked(
     x0b: Optional[jnp.ndarray] = None,
     seg: int = 25,
     progress=None,
+    is_reject_b: Optional[jnp.ndarray] = None,
 ) -> RolloutOut:
     """Identical semantics to :func:`rollout`, dispatched in ``seg``-step
     segments from the host: one compiled executable reused per segment, short
@@ -501,11 +557,12 @@ def rollout_chunked(
     def segment(carry, idx_seg, noise_seg):
         with jax.default_matmul_precision("highest"):
             return jax.lax.scan(
-                lambda c, x: _step(engine, c, x), carry, (idx_seg, noise_seg)
+                lambda c, x: _step(engine, c, x, is_reject_b),
+                carry, (idx_seg, noise_seg)
             )
 
     with jax.default_matmul_precision("highest"):
-        carry = _init_carry(engine, B, x0b)
+        carry = _init_carry(engine, B, x0b, is_reject_b)
     outs = []
     for s0 in range(0, T, seg):
         idx = jnp.arange(s0, s0 + seg, dtype=jnp.int32)
