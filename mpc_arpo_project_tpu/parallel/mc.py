@@ -137,7 +137,29 @@ def run_sweep(
     """
     if mesh is None:
         mesh = mesh_lib.make_mesh()
+
+    from mpc_arpo_project_tpu.rollout import continuous as cont
+
+    is_cont = isinstance(engine, cont.ContinuousEngine)
+    multiproc = jax.process_count() > 1
+    repl = mesh_lib.replicated(mesh)
+    if multiproc:
+        # Multi-controller mode: locally-committed arrays cannot cross into a
+        # global sharding, so (a) the engine — identical on every process — is
+        # re-placed as globally-replicated jax.Arrays, and (b) the noise is
+        # generated INSIDE jit with a sharded out_sharding, so each process
+        # materializes only its own shard (threefry is counter-based, so the
+        # global array is identical to the single-process one).
+        engine = jax.device_put(jax.tree.map(np.asarray, engine), repl)
     f = sharded_stats_fn(engine, mesh)
+    noise_sh = mesh_lib.batch_sharding(mesh, batch_axis=1)
+    eng_sh = jax.tree.map(lambda _: repl, engine)
+    gen_fn = cont.make_noise_draws if is_cont else discrete.make_noise_sequence
+    gen = jax.jit(
+        lambda e, kd: gen_fn(e, jax.random.wrap_key_data(kd), chunk),
+        in_shardings=(eng_sh, repl),
+        out_shardings=noise_sh,
+    )
 
     start = 0
     acc = None
@@ -148,21 +170,21 @@ def run_sweep(
             start = ck["next_chunk"]
             acc = ck["acc"]
 
-    from mpc_arpo_project_tpu.rollout import continuous as cont
-
     n_chunks = (total + chunk - 1) // chunk
     for ci in range(start, n_chunks):
         # chunks always run full width for shape stability; a ragged final
         # chunk just contributes extra valid MC scenarios (all counts use the
         # actually-executed n)
         ck_key = jax.random.fold_in(key, ci)
-        if isinstance(engine, cont.ContinuousEngine):
+        if multiproc:
+            noise_seq = gen(engine, np.asarray(jax.random.key_data(ck_key)))
+        elif is_cont:
             noise_seq = cont.make_noise_draws(engine, ck_key, chunk)
         else:
             noise_seq = discrete.make_noise_sequence(engine, ck_key, chunk)
         st = f(engine, noise_seq)
         acc = _acc_update(acc, st)
-        if checkpoint_path:
+        if checkpoint_path and jax.process_index() == 0:
             tmp = checkpoint_path + ".tmp"
             with open(tmp, "w") as fh:
                 json.dump(

@@ -1,0 +1,91 @@
+"""Multi-host (multi-process) correctness proxy: two `jax.distributed`
+processes x 4 virtual CPU devices each must produce EXACTLY the stats of the
+single-process 8-device run — the CPU-runnable stand-in for the >= 2-host DP
+deployment (SURVEY §5.8; no multi-chip hardware exists in this environment).
+"""
+
+import json
+import os
+import socket
+import subprocess
+import sys
+import textwrap
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from mpc_arpo_project_tpu.ops import admm
+from mpc_arpo_project_tpu.parallel import mc, mesh as mesh_lib
+from mpc_arpo_project_tpu.rollout import discrete
+from tests.test_parallel import _small_engine
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+_WORKER = textwrap.dedent(
+    """
+    import os, sys, json
+    sys.path.insert(0, {repo!r})
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
+    pid = int(sys.argv[1])
+    jax.distributed.initialize(coordinator_address="localhost:{port}",
+                               num_processes=2, process_id=pid)
+    assert jax.process_count() == 2 and jax.device_count() == 8
+
+    from tests.test_parallel import _build_small_engine
+    from mpc_arpo_project_tpu.parallel import mc, mesh as mesh_lib
+
+    engine = _build_small_engine(20.0)
+    mesh = mesh_lib.make_mesh(hybrid=True)
+    assert dict(zip(mesh.axis_names, mesh.devices.shape)) == {{"dcn": 2, "ici": 4}}
+    res = mc.run_sweep(engine, total=16, chunk=8, key=jax.random.key(7),
+                       mesh=mesh, checkpoint_path=None)
+    if pid == 0:
+        with open({out!r}, "w") as fh:
+            json.dump(res, fh)
+    print("worker", pid, "ok", flush=True)
+    """
+)
+
+
+def test_two_process_sweep_matches_single_process(tmp_path):
+    out = str(tmp_path / "dist_stats.json")
+    s = socket.socket()
+    s.bind(("localhost", 0))
+    port = s.getsockname()[1]
+    s.close()
+
+    env = dict(os.environ)
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    env.pop("JAX_PLATFORMS", None)
+    code = _WORKER.format(repo=_REPO, port=port, out=out)
+    procs = [
+        subprocess.Popen([sys.executable, "-c", code, str(i)], env=env,
+                         stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+                         text=True)
+        for i in range(2)
+    ]
+    outs = []
+    for p in procs:
+        o, _ = p.communicate(timeout=900)
+        outs.append(o)
+    for i, (p, o) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"worker {i} failed:\n{o[-3000:]}"
+
+    with open(out) as fh:
+        dist = json.load(fh)
+
+    # single-process reference on this process's flat 8-device mesh
+    engine = _small_engine(20.0)
+    ref = mc.run_sweep(engine, total=16, chunk=8, key=jax.random.key(7),
+                       mesh=mesh_lib.make_mesh(), checkpoint_path=None)
+
+    assert dist["n"] == ref["n"] == 16
+    assert dist["ctrl_usage"] == ref["ctrl_usage"]
+    assert dist["success_rate"] == ref["success_rate"]
+    np.testing.assert_allclose(dist["mean_final_dist"], ref["mean_final_dist"],
+                               rtol=1e-9)
+    np.testing.assert_allclose(dist["mean_i_term"], ref["mean_i_term"],
+                               rtol=1e-12)

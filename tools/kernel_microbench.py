@@ -33,6 +33,29 @@ def main():
 
     B = args.batch
     nz, m = 256, 512
+
+    # ---- roofline accounting (VERDICT r1 #3) -------------------------------
+    # MXU MACs per ADMM iteration per problem (padded dims):
+    #   body:    matvec_AT(rho z - y) + matvec_A(xt)          = 2 * 4*m*nz
+    #   solve_M: apply_minv                                    = nz^2
+    #            + ir_steps * (Pbar mv + A mv + A' mv + minv)  = ir*(2*nz^2 + 2*4*m*nz)
+    def macs_per_iter(ir):
+        return 2 * 4 * m * nz + nz * nz + ir * (2 * nz * nz + 2 * 4 * m * nz)
+
+    # HBM bytes per chunk per problem: the per-problem inverse streams once
+    # per chunk (VMEM-resident across the fused iterations); vectors are small
+    bytes_per_chunk_problem = nz * nz * 4 + (2 * nz + 6 * m) * 4
+    dev = jax.devices()[0]
+    kind = dev.device_kind.lower()
+    # peak numbers: v5e (v5 lite) bf16 197 TF, HBM 819 GB/s. fp32 matmuls at
+    # precision=HIGHEST run as 6 bf16 passes -> fp32 ceiling = peak/6.
+    peak_bf16 = 197e12 if "v5" in kind else 275e12
+    hbm_bw = 819e9 if "v5" in kind else 1200e9
+    print(f"device={dev.device_kind}  peak_bf16={peak_bf16/1e12:.0f}TF  "
+          f"fp32-highest ceiling={peak_bf16/6/1e12:.1f}TF  HBM={hbm_bw/1e9:.0f}GB/s")
+    print(f"per-iter MACs/problem: ir=1 {macs_per_iter(1)/1e6:.2f}M  "
+          f"ir=2 {macs_per_iter(2)/1e6:.2f}M; "
+          f"HBM bytes/chunk/problem: {bytes_per_chunk_problem/1e3:.0f}KB")
     key = jax.random.key(0)
     ks = jax.random.split(key, 12)
     f32 = jnp.float32
@@ -85,9 +108,15 @@ def main():
                     ts.append(time.perf_counter() - t0)
                 best = min(ts) * 1e3 / L
                 per_iter = best / args.iters
+                n_act = B - n_done
+                flops = 2 * macs_per_iter(ir) * n_act / (per_iter * 1e-3)
+                bw = bytes_per_chunk_problem * n_act / (best * 1e-3)
                 print(f"bt={bt:2d} ir={ir} done={args.done_frac:.2f}: "
                       f"{best:7.2f} ms/chunk  {per_iter:6.3f} ms/iter "
-                      f"({per_iter/B*1e6:7.2f} ns/iter/problem)")
+                      f"({per_iter/B*1e6:7.2f} ns/iter/problem)  "
+                      f"{flops/1e12:5.1f} TF/s ({flops/peak_bf16*100:4.1f}% bf16 peak, "
+                      f"{flops/(peak_bf16/6)*100:5.1f}% fp32 ceiling)  "
+                      f"HBM {bw/1e9:5.0f} GB/s ({bw/hbm_bw*100:4.1f}%)")
             except Exception as e:  # noqa: BLE001
                 print(f"bt={bt:2d} ir={ir}: FAILED {type(e).__name__}: {str(e)[:120]}")
 
