@@ -92,13 +92,15 @@ class ADMMSettings(NamedTuple):
     # double-buffered VMEM. _tile_width() halves it until it divides B.
     pallas_tile: int = 32
     # iterative-refinement steps inside the Pallas solve: each step SQUARES
-    # the effective inverse error, which both fixes fp32 floors and buys a
-    # large staleness tolerance for the refresh gating below
-    ir_steps: int = 2
+    # the effective inverse error, which both fixes fp32 floors and buys
+    # staleness tolerance for the refresh gating below. One step with a
+    # 2%-drift gate solves to ~4e-4 effective inverse error (well under the
+    # measured ~4e-3 stall threshold) at ~25% less per-iteration cost than
+    # two steps with a 5% gate.
+    ir_steps: int = 1
     # refresh the inverse when the slope coefficient drifts this far
-    # (relative) from the refresh point; with ir_steps=2 a 5%-stale inverse
-    # still solves to ~1e-4
-    ns_refresh_drift: float = 0.05
+    # (relative) from the refresh point
+    ns_refresh_drift: float = 0.02
     # stall exit (0 = disabled, the OSQP-faithful default): declare MAX_ITER
     # early when neither residual has improved by >= 5% for this many check
     # intervals. Marginally-infeasible QPs in this problem family plateau
@@ -110,15 +112,26 @@ class ADMMSettings(NamedTuple):
     # solve would.
     stall_exit_chunks: int = 0
     stall_improve: float = 0.95
-    # overtime lane ('pallas' mode): once the active count fits in B // div
-    # slots, compact the stragglers (argsort gather) into a small batch and
-    # keep iterating there. Straggler QPs (cap-bound marginally-infeasible
+    # overtime cascade ('pallas' mode): each time the active count fits in
+    # half the current lane width, compact the stragglers (argsort gather)
+    # into the smaller lane and keep iterating there, halving from B/2 down
+    # to ~B/overtime_div. Straggler QPs (cap-bound marginally-infeasible
     # ones especially — 4-20% of steps in the flagship scenario) otherwise
     # keep EVERY batch tile streaming its inverses through the MXU for
     # thousands of iterations; per-problem math is independent, so
     # compaction is exact. 0/1 disables; ignored when B // div is not
     # meaningfully smaller than B.
-    overtime_div: int = 8
+    overtime_div: int = 32
+    # MXU pass count for fp32 dots inside the Pallas kernels: 'highest'
+    # (6-pass fp32, exact) or 'default' (single bf16 pass — breaks fp32 ADMM
+    # convergence, diagnostic only; Mosaic does not implement 'high').
+    mxu_precision: str = "highest"
+    # two-limb bf16 Minv apply in the chunk kernel (fp32 only): the inverse
+    # and rhs are split hi/lo once per chunk and applied as three single-pass
+    # bf16 dots (~2^-16 relative error, far below the inverse-error stall
+    # threshold) — measured ~2x cheaper than the 6-pass fp32 matvec, which
+    # is the single most expensive per-iteration op.
+    minv_two_limb: bool = True
 
 
 class ADMMProblem(NamedTuple):
@@ -146,6 +159,18 @@ class ADMMProblem(NamedTuple):
     velx_cols: jnp.ndarray
     vely_cols: jnp.ndarray
     posx_cols: jnp.ndarray
+    # compact correction factorization for the fused TPU kernel (see
+    # ops.admm_pallas._chunk_kernel): the three dynamic one-hot scatter
+    # patterns expressed as gather/scatter matmul pairs of width 3*gw
+    # (gw = Nx+1 rounded up to 64), with the scaled coefficient vectors
+    # folded in. A_k x = A0 x + (wsel_k * (x @ gsel)) @ scat, where wsel_k
+    # is the per-problem [c1|c2|s] group mask built from an iota compare —
+    # everything rides the MXU at 1/3 the FLOPs of the 4-stacked-AK form,
+    # with no TPU-hostile scatters or unaligned lane ops.
+    gsel: jnp.ndarray  # (nz, 3*gw)
+    scat: jnp.ndarray  # (3*gw, m)
+    rsel: jnp.ndarray  # (m, 3*gw)
+    gscat: jnp.ndarray  # (3*gw, nz)
 
 
 class ADMMState(NamedTuple):
@@ -310,6 +335,30 @@ def prepare_problem(
         D = pad_vec(D, nz_p, fill=1.0)
         E = pad_vec(E, m_p, fill=1.0)
 
+    # ---- compact correction factorization (see ADMMProblem.gsel): groups of
+    # width gw = ceil(L/64)*64 so the per-problem [c1|c2|s] weight mask is a
+    # pair of aligned iota compares in the kernel
+    L = fr.shape[0]  # Nx+1 horizon blocks
+    nz_now, m_now = Pbar.shape[0], A0bar.shape[0]
+    gw = -(-L // 64) * 64
+    jj = np.arange(L)
+    gsel = np.zeros((nz_now, 3 * gw))
+    gsel[vx, jj] = sc1
+    gsel[vy, gw + jj] = sc2
+    gsel[px, 2 * gw + jj] = sc3
+    scat = np.zeros((3 * gw, m_now))
+    scat[jj, fr] = 1.0
+    scat[gw + jj, fr] = 1.0
+    scat[2 * gw + jj, dr] = 1.0
+    rsel = np.zeros((m_now, 3 * gw))
+    rsel[fr, jj] = sc1
+    rsel[fr, gw + jj] = sc2
+    rsel[dr, 2 * gw + jj] = sc3
+    gscat = np.zeros((3 * gw, nz_now))
+    gscat[jj, vx] = 1.0
+    gscat[gw + jj, vy] = 1.0
+    gscat[2 * gw + jj, px] = 1.0
+
     AK = np.concatenate([A0bar, S1b, S2b, S3b], axis=0)
 
     as_dt = lambda x: jnp.asarray(x, dtype=dtype)
@@ -335,6 +384,10 @@ def prepare_problem(
         velx_cols=as_i(vx),
         vely_cols=as_i(vy),
         posx_cols=as_i(px),
+        gsel=as_dt(gsel),
+        scat=as_dt(scat),
+        rsel=as_dt(rsel),
+        gscat=as_dt(gscat),
     )
 
 
@@ -431,6 +484,8 @@ def admm_solve(
     """
     # TPU MXU default precision is bf16 multiplies — fatal for ADMM
     # convergence in fp32; force full-precision matmuls for the whole solve
+    # (the Pallas kernels set their own per-dot precision from
+    # settings.mxu_precision)
     with jax.default_matmul_precision("highest"):
         return _admm_solve_impl(prob, coeffs, l, u, state, settings, qbar, active)
 
@@ -680,13 +735,15 @@ def _solve_pallas(prob, coeffs, lbar, ubar, state, settings, qbar, active):
     Newton-Schulz inverse maintenance instead of factorization (see
     ops.admm_pallas for the rationale).
 
-    Two lanes: a full-batch loop while most problems are working, then —
-    once the active count fits — stragglers are compacted into a ``B //
-    overtime_div`` buffer and iterated there. Per-problem math is
-    independent, so the gather/scatter is exact; it exists because the
-    4000-iteration cap-bound problems (the reference's own OSQP budget,
-    `trajectorySimulate.py:296` with default settings) otherwise keep every
-    tile of the full batch busy streaming inverses for the whole cap."""
+    Straggler cascade: a full-batch loop while most problems are working,
+    then — each time the active count fits half the current lane — the
+    stragglers are compacted (argsort gather) into a lane of half the width
+    and iterated there, down to ~``B // overtime_div`` slots. Per-problem
+    math is independent, so the gathers are exact; the cascade exists
+    because the 4000-iteration cap-bound problems (the reference's own OSQP
+    budget, `trajectorySimulate.py:296` with default settings) otherwise
+    keep every tile of the full batch busy streaming inverses for the whole
+    cap."""
     from mpc_arpo_project_tpu.ops import admm_pallas
 
     dt = prob.Pbar.dtype
@@ -696,7 +753,6 @@ def _solve_pallas(prob, coeffs, lbar, ubar, state, settings, qbar, active):
     bt = _tile_width(B, settings.pallas_tile)
     c1, c2, s = coeffs
     coef = jnp.stack([jnp.ones_like(c1), c1, c2, s], axis=1)
-    ak4 = prob.AK.reshape(4, m, nz)
     sigma = float(settings.sigma)
 
     # shared structure stack for IN-KERNEL normal-matrix construction:
@@ -706,8 +762,11 @@ def _solve_pallas(prob, coeffs, lbar, ubar, state, settings, qbar, active):
     ns_stack = jnp.concatenate(
         [(prob.Pbar + sigma * jnp.eye(nz, dtype=dt))[None], prob.G[None],
          prob.Fstack], axis=0)
+    # the same 7 matrices lane-concatenated for the chunk kernel's structured
+    # M v refinement products (see admm_pallas.matvec_M)
+    stack7 = jnp.concatenate([ns_stack[t] for t in range(7)], axis=1)
 
-    def make_ns_refresh(coef_l, bt_l):
+    def make_ns_weights(coef_l):
         cc1, cc2, ss = coef_l[:, 1], coef_l[:, 2], coef_l[:, 3]
 
         def ns_weights(rho_scale):
@@ -715,6 +774,11 @@ def _solve_pallas(prob, coeffs, lbar, ubar, state, settings, qbar, active):
             return jnp.stack(
                 [jnp.ones_like(r), r, r * cc1, r * cc2, r * cc1 * cc2,
                  r * ss, r * ss * ss, jnp.zeros_like(r)], axis=1)
+
+        return ns_weights
+
+    def make_ns_refresh(coef_l, bt_l):
+        ns_weights = make_ns_weights(coef_l)
 
         def ns_refresh(minv, rho_scale, needmask):
             w = ns_weights(rho_scale)
@@ -773,6 +837,7 @@ def _solve_pallas(prob, coeffs, lbar, ubar, state, settings, qbar, active):
         """while_loop factory over a (possibly compacted) problem subset.
         ``stop_at``: also exit once the active count fits that many slots."""
         ns_refresh = make_ns_refresh(coef_l, bt_l)
+        ns_weights = make_ns_weights(coef_l)
 
         def cond(carry):
             done, chunk = carry[5], carry[7]
@@ -786,8 +851,10 @@ def _solve_pallas(prob, coeffs, lbar, ubar, state, settings, qbar, active):
              best_rp, best_rd, last_prog) = carry
             rho = rho_scale[:, None] * prob.rho_vec
             x_n, y_n, z_n, stats = admm_pallas.admm_chunk(
-                minv, coef_l, qbar_l, lbar_l, ubar_l, rho, x, y, z, ak4,
-                prob.Pbar, prob.Einv, prob.Dinv,
+                minv, coef_l, qbar_l, lbar_l, ubar_l, rho, x, y, z,
+                ns_weights(rho_scale),
+                prob.A0bar, prob.Pbar, prob.gsel, prob.scat, prob.rsel,
+                prob.gscat, stack7, prob.Einv, prob.Dinv,
                 done=done,
                 n_iter=settings.check_every,
                 sigma=sigma,
@@ -797,6 +864,8 @@ def _solve_pallas(prob, coeffs, lbar, ubar, state, settings, qbar, active):
                 pinf_margin=float(settings.pinf_support_margin),
                 bt=bt_l,
                 ir_steps=settings.ir_steps,
+                precision=settings.mxu_precision,
+                two_limb=settings.minv_two_limb,
             )
             cinv = 1.0 / prob.c
             # done problems keep their last true residuals: skipped tiles emit
@@ -864,13 +933,17 @@ def _solve_pallas(prob, coeffs, lbar, ubar, state, settings, qbar, active):
 
         return cond, body
 
-    # overtime-lane width: a multiple of the tile so the small loop tiles
-    # cleanly; disabled unless meaningfully smaller than the full batch
-    B2 = 0
+    # cascade widths: halve from B/2 down to ~B/overtime_div (tile-rounded,
+    # strictly decreasing); empty = compaction disabled
+    widths = []
     if settings.overtime_div and settings.overtime_div > 1:
-        B2 = -(-(B // settings.overtime_div) // bt) * bt
-        if not (0 < B2 <= B // 2):
-            B2 = 0
+        target = max(bt, B // settings.overtime_div)
+        w = B // 2
+        while w >= target and w >= bt:
+            wq = -(-w // bt) * bt
+            if 0 < wq <= B // 2 and (not widths or wq < widths[-1]):
+                widths.append(wq)
+            w //= 2
 
     rp0 = jnp.full((B,), jnp.inf, dtype=dt)
     carry0 = (
@@ -889,34 +962,34 @@ def _solve_pallas(prob, coeffs, lbar, ubar, state, settings, qbar, active):
         jnp.zeros((B,), dtype=jnp.int32),  # last progress chunk
     )
     cond1, body1 = make_loop(coef, qbar, lbar, ubar, bt,
-                             stop_at=B2 if B2 else None)
-    (x, y, z, rp, rd, done, status, chunks, minv, rho_scale,
-     best_rp, best_rd, last_prog) = jax.lax.while_loop(cond1, body1, carry0)
+                             stop_at=widths[0] if widths else None)
+    carry = jax.lax.while_loop(cond1, body1, carry0)
 
-    if B2:
-        # compact stragglers to the front (stable argsort: done=False first;
-        # phase 1 only stops once they fit, so idx covers every active row)
-        order = jnp.argsort(done, stable=True)
-        idx = order[:B2]
-        bt2 = _tile_width(B2, settings.pallas_tile)
-        carry2 = (
-            x[idx], y[idx], z[idx], rp[idx], rd[idx], done[idx], status[idx],
-            chunks, minv[idx], rho_scale[idx], best_rp[idx], best_rd[idx],
-            last_prog[idx],
-        )
-        cond2, body2 = make_loop(coef[idx], qbar[idx], lbar[idx], ubar[idx],
-                                 bt2)
-        (x2, y2, z2, rp2, rd2, done2, status2, chunks, minv2, rho2,
-         _, _, _) = jax.lax.while_loop(cond2, body2, carry2)
-        x = x.at[idx].set(x2)
-        y = y.at[idx].set(y2)
-        z = z.at[idx].set(z2)
-        rp = rp.at[idx].set(rp2)
-        rd = rd.at[idx].set(rd2)
-        done = done.at[idx].set(done2)
-        status = status.at[idx].set(status2)
-        minv = minv.at[idx].set(minv2)
-        rho_scale = rho_scale.at[idx].set(rho2)
+    _CHUNK_IDX = 7  # scalar chunk counter inside the 13-tuple carry
+
+    for li, w in enumerate(widths):
+        next_stop = widths[li + 1] if li + 1 < len(widths) else None
+        bt_l = _tile_width(w, settings.pallas_tile)
+
+        def run_level(fc, _w=w, _bt=bt_l, _stop=next_stop):
+            # compact stragglers to the front (stable argsort: done=False
+            # first; the previous lane only stops once they fit, so idx
+            # covers every active row — except at the iteration cap, where
+            # leftovers are finalized as MAX_ITER below anyway)
+            idx = jnp.argsort(fc[5], stable=True)[:_w]
+            sub = tuple(c if i == _CHUNK_IDX else c[idx]
+                        for i, c in enumerate(fc))
+            cond_l, body_l = make_loop(coef[idx], qbar[idx], lbar[idx],
+                                       ubar[idx], _bt, stop_at=_stop)
+            sub = jax.lax.while_loop(cond_l, body_l, sub)
+            return tuple(sub[i] if i == _CHUNK_IDX else c.at[idx].set(sub[i])
+                         for i, c in enumerate(fc))
+
+        carry = jax.lax.cond(jnp.any(~carry[5]), run_level, lambda fc: fc,
+                             carry)
+
+    (x, y, z, rp, rd, done, status, chunks, minv, rho_scale,
+     _, _, _) = carry
 
     status = jnp.where(done, status, MAX_ITER).astype(jnp.int32)
     # record the rho the inverse currently reflects (mid-solve adaptation

@@ -14,13 +14,16 @@ Design:
 
 ``admm_chunk`` — one launch runs ``n_iter`` OSQP-style iterations for the
 whole scenario batch. Grid over batch tiles of ``BT`` problems; per tile the
-per-problem inverse normal matrices (Minv), the shared stacked constraint
-matrix AK (A0bar and the three one-hot correction patterns — see ops.admm),
-the shared scaled cost Pbar and all iterate vectors live in VMEM for the whole
-chunk (~4.3 MB/tile). The linear solve is a per-problem matvec with Minv —
-no factorization in the hot path. The kernel also computes the OSQP
-termination residuals and primal/dual infeasibility certificates in-kernel,
-so the surrounding while-loop needs only O(1) cheap XLA ops per chunk.
+per-problem inverse normal matrices (Minv), the shared base constraint matrix
+A0bar with the compact gather/scatter correction factorization (gsel/scat/
+rsel/gscat — see ops.admm.ADMMProblem), the structured normal-matrix stack
+and all iterate vectors live in VMEM for the whole chunk. The linear solve is
+a per-problem matvec with Minv (two-limb bf16 split at fp32 — measured ~2x
+cheaper than the 6-pass fp32 matvec) plus optional iterative refinement
+against the true M built from the structured stack — no factorization in the
+hot path. The kernel also computes the OSQP termination residuals and
+primal/dual infeasibility certificates in-kernel, so the surrounding
+while-loop needs only O(1) cheap XLA ops per chunk.
 
 ``newton_schulz_inverse`` — maintains Minv across control steps without any
 XLA decomposition: X <- X (2I - M X), quadratically convergent, warm-started
@@ -270,9 +273,15 @@ def _chunk_kernel(
     ucap_ref,  # (BT, m) ubar with inf replaced by 0
     lcap_ref,  # (BT, m) lbar with -inf replaced by 0
     done_ref,  # (BT, 8) f32 mask: 1 where the problem is already done
+    w7_ref,  # (BT, 8) structured normal-matrix weights (see admm ns_weights)
     # shared inputs
-    ak_ref,  # (4, m, nz)
+    a0_ref,  # (m, nz) scaled base constraint matrix
     pbar_ref,  # (nz, nz)
+    gsel_ref,  # (nz, 3*gw) correction gather (coefficient vectors folded in)
+    scat_ref,  # (3*gw, m) correction scatter
+    rsel_ref,  # (m, 3*gw) transpose-side gather
+    gscat_ref,  # (3*gw, nz) transpose-side scatter
+    stack7_ref,  # (nz, 7*nz) the 7 structure matrices, lane-concatenated
     einv_ref,  # (1, m)
     dinv_ref,  # (1, nz)
     # outputs
@@ -280,6 +289,9 @@ def _chunk_kernel(
     yo_ref,  # (BT, m)
     zo_ref,  # (BT, m)
     stat_ref,  # (BT, 8): rp, rp_rel, rd, rd_rel, pinf, dinf, nv_dy, nv_dx
+    # optional VMEM scratch (present iff the two-limb bf16 Minv apply is on)
+    minv_hi_ref=None,  # (BT, nz, nz) bf16
+    minv_lo_ref=None,  # (BT, nz, nz) bf16
     *,
     n_iter: int,
     sigma: float,
@@ -289,47 +301,109 @@ def _chunk_kernel(
     pinf_margin: float,
     bt: int,
     ir_steps: int,
+    gw: int,
+    prec,
 ):
+    """One fused chunk with compact-matmul dynamic corrections.
+
+    The V1 kernel computed A_k-matvecs as four full (m, nz) stacked matmuls
+    (A0 plus three one-hot patterns with ~Nx+1 nonzeros each) and ran at
+    >80% of the fp32 MXU ceiling — i.e. 4x the necessary FLOPs at full
+    efficiency. Here the corrections are a gather/scatter matmul pair of
+    width 3*gw (~1/3 the base matmul cost) with the per-problem signs
+    applied between them as a float-mask built from an iota compare — and
+    the iterative-refinement M v products use the 7-term structured stack
+    (one (nz, 7nz) matmul + aligned lane slices) instead of two more
+    A-matvecs. Unaligned lane ops are deliberately absent: measured, a
+    slice-add formulation of the same math ran 2.6x SLOWER than V1 due to
+    Mosaic lane-relayouts, while this form cuts per-iteration MACs from
+    3.47M to 1.77M per problem (ir=2, padded dims)."""
     f32 = x_ref.dtype  # accumulate in the working precision (f32 or f64)
+    c1v = coef_ref[:, 1][:, None]
+    c2v = coef_ref[:, 2][:, None]
+    sv = coef_ref[:, 3][:, None]
+    nz = x_ref.shape[1]
+    # per-problem group mask [c1 | c2 | s] over the 3*gw correction lanes
+    # (float-mask iota compare: Mosaic cannot lower wide boolean selects)
+    colf = jax.lax.broadcasted_iota(jnp.int32, (1, 3 * gw), 1).astype(f32)
+    in1 = jnp.maximum(jnp.sign(gw - 0.5 - colf), 0.0)
+    in12 = jnp.maximum(jnp.sign(2 * gw - 0.5 - colf), 0.0)
+    wsel = in1 * c1v + (in12 - in1) * c2v + (1.0 - in12) * sv  # (BT, 3gw)
 
     def matvec_A(x):  # (BT, nz) -> (BT, m)
-        acc = None
-        for k in range(4):
-            part = jnp.dot(x, ak_ref[k].T, preferred_element_type=f32)
-            part = coef_ref[:, k][:, None] * part
-            acc = part if acc is None else acc + part
-        return acc
+        g = jnp.dot(x, gsel_ref[:, :], preferred_element_type=f32,
+                    precision=prec)
+        return (
+            jnp.dot(x, a0_ref[:].T, preferred_element_type=f32, precision=prec)
+            + jnp.dot(wsel * g, scat_ref[:, :], preferred_element_type=f32,
+                      precision=prec)
+        )
 
     def matvec_AT(w):  # (BT, m) -> (BT, nz)
-        acc = None
-        for k in range(4):
-            part = jnp.dot(coef_ref[:, k][:, None] * w, ak_ref[k],
-                           preferred_element_type=f32)
-            acc = part if acc is None else acc + part
-        return acc
+        h = jnp.dot(w, rsel_ref[:, :], preferred_element_type=f32,
+                    precision=prec)
+        return (
+            jnp.dot(w, a0_ref[:], preferred_element_type=f32, precision=prec)
+            + jnp.dot(wsel * h, gscat_ref[:, :], preferred_element_type=f32,
+                      precision=prec)
+        )
+
+    two_limb = minv_lo_ref is not None
 
     def apply_minv(rhs):  # (BT, nz) -> (BT, nz); Minv is symmetric
         outs = []
         for p in range(bt):
-            outs.append(jnp.dot(rhs[p][None, :], minv_ref[p],
-                                preferred_element_type=f32))
+            if two_limb:
+                # two-limb bf16 apply: Minv = hi + lo with bf16 limbs (split
+                # once per chunk below); x likewise. Three single-pass bf16
+                # dots (dropping lo*lo) carry ~2^-16 relative error — far
+                # below the ~1e-3 inverse-error stall threshold — at ~half
+                # the cost of one 6-pass fp32-HIGHEST matvec (measured).
+                # explicit DEFAULT precision: the solve runs under a
+                # default_matmul_precision('highest') context, and Mosaic
+                # rejects bf16 operands tagged with an fp32 contract
+                # precision ("Bad lhs type")
+                dflt = jax.lax.Precision.DEFAULT
+                xr = rhs[p][None, :]
+                xh = xr.astype(jnp.bfloat16)
+                xl = (xr - xh.astype(f32)).astype(jnp.bfloat16)
+                o = (
+                    jnp.dot(xh, minv_hi_ref[p], preferred_element_type=f32,
+                            precision=dflt)
+                    + jnp.dot(xh, minv_lo_ref[p], preferred_element_type=f32,
+                              precision=dflt)
+                    + jnp.dot(xl, minv_hi_ref[p], preferred_element_type=f32,
+                              precision=dflt)
+                )
+                outs.append(o)
+            else:
+                outs.append(jnp.dot(rhs[p][None, :], minv_ref[p],
+                                    preferred_element_type=f32,
+                                    precision=prec))
         return jnp.concatenate(outs, axis=0)
+
+    def matvec_M(x):
+        """True normal-matrix product via the structured stack:
+        M_k v = sum_t w7[k, t] * (v @ stack_t), one wide shared matmul plus
+        aligned 256-lane slice combines — ~459K MACs/problem vs ~573K for
+        the sigma v + Pbar v + A'(rho(A v)) route."""
+        xs = jnp.dot(x, stack7_ref[:, :], preferred_element_type=f32,
+                     precision=prec)  # (BT, 7*nz)
+        acc = None
+        for t in range(7):
+            term = w7_ref[:, t][:, None] * xs[:, t * nz : (t + 1) * nz]
+            acc = term if acc is None else acc + term
+        return acc
 
     def solve_M(rhs):
         """Approximate-inverse apply + iterative refinement.
 
         The Newton-Schulz inverse carries a residual ~ kappa*eps (at fp32,
         ~1e-3 — measured to be enough to stall ADMM); one refinement step
-        against the TRUE normal matrix, reconstructed matrix-free as
-        M v = sigma v + Pbar v + A'(rho (A v)), squares the error away."""
+        against the TRUE normal matrix squares the error away."""
         xt = apply_minv(rhs)
         for _ in range(ir_steps):
-            Mx = (
-                sigma * xt
-                + jnp.dot(xt, pbar_ref[:, :], preferred_element_type=f32)
-                + matvec_AT(rho_ref[:, :] * matvec_A(xt))
-            )
-            xt = xt + apply_minv(rhs - Mx)
+            xt = xt + apply_minv(rhs - matvec_M(xt))
         return xt
 
     def body(i, carry):
@@ -354,6 +428,14 @@ def _chunk_kernel(
 
     @pl.when(alive_any)
     def _compute():
+        if two_limb:
+            # split the tile's inverses into bf16 limbs ONCE per chunk; the
+            # n_iter in-loop applies then run single-pass bf16 dots
+            for p in range(bt):
+                Mh = minv_ref[p].astype(jnp.bfloat16)
+                minv_hi_ref[p] = Mh
+                minv_lo_ref[p] = (minv_ref[p] - Mh.astype(f32)).astype(
+                    jnp.bfloat16)
         x0 = x_ref[:, :]
         y0 = y_ref[:, :]
         z0 = z_ref[:, :]
@@ -377,7 +459,8 @@ def _chunk_kernel(
         )
         # NOTE: rd/rd_rel are emitted WITHOUT the 1/c cost-unscaling factor —
         # the caller applies it (c is a traced array under jit)
-        Px = jnp.dot(x, pbar_ref[:, :], preferred_element_type=f32)
+        Px = jnp.dot(x, pbar_ref[:, :], preferred_element_type=f32,
+                     precision=prec)
         Aty = matvec_AT(y)
         rd = jnp.max(jnp.abs(dinv * (Px + qbar_ref[:, :] + Aty)), axis=1)
         rd_rel = jnp.maximum(
@@ -417,7 +500,8 @@ def _chunk_kernel(
 
         # ---- dual infeasibility certificate (same float-mask style)
         nvx = jnp.max(jnp.abs(dx), axis=1)
-        Pdx = jnp.dot(dx, pbar_ref[:, :], preferred_element_type=f32)
+        Pdx = jnp.dot(dx, pbar_ref[:, :], preferred_element_type=f32,
+                      precision=prec)
         pdx_n = jnp.max(jnp.abs(Pdx), axis=1)
         qv = (qbar_ref[:, :] * dx).sum(axis=1)
         Adx = matvec_A(dx)
@@ -448,7 +532,8 @@ def _chunk_kernel(
 
 
 def admm_chunk(
-    minv, coef, qbar, lbar, ubar, rho, x, y, z, ak4, pbar, einv, dinv,
+    minv, coef, qbar, lbar, ubar, rho, x, y, z, w7,
+    a0, pbar, gsel, scat, rsel, gscat, stack7, einv, dinv,
     *,
     n_iter: int,
     sigma: float,
@@ -458,25 +543,44 @@ def admm_chunk(
     pinf_margin: float,
     bt: int = 8,
     ir_steps: int = 1,
+    precision: str = "highest",
+    two_limb: bool = True,
     interpret=None,
     done=None,
 ):
     """Run ``n_iter`` fused ADMM iterations + termination diagnostics.
 
     Shapes: minv (B,nz,nz); coef (B,4); qbar/x (B,nz); lbar/ubar/rho/y/z (B,m);
-    ak4 (4,m,nz); pbar (nz,nz); einv (m,); dinv (nz,).
+    w7 (B,8) structured normal-matrix weights [1, r, r*c1, r*c2, r*c1c2, r*s,
+    r*s^2, 0]; a0 (m,nz); pbar (nz,nz); gsel/scat/rsel/gscat the compact
+    correction factorization (see admm.ADMMProblem); stack7 (nz, 7*nz) the
+    lane-concatenated structure matrices [Pbar+sigma*I | G | F1..F33];
+    einv (m,); dinv (nz,).
+    ``precision``: MXU pass count for fp32 dots — 'highest' (6-pass fp32),
+    'high' (3-pass, ~1e-7 relative operator noise), 'default' (single bf16
+    pass; breaks convergence, only for roofline probes).
+    ``two_limb``: use the two-limb bf16 Minv apply (fp32 working dtype only;
+    fp64 — the exactness-test dtype — always uses the full-precision apply).
     ``done``: optional (B,) bool — tiles whose problems are all done skip the
     chunk entirely (iterates pass through, stats zeroed).
     Returns (x, y, z, stats) with stats (B, 8).
     """
     if interpret is None:
         interpret = _interpret_default()
+    two_limb = two_limb and x.dtype == jnp.float32
     B, nz = x.shape
     m = y.shape[1]
     assert B % bt == 0, (B, bt)
+    gw3 = gsel.shape[1]
+    assert gw3 % 3 == 0 and stack7.shape == (nz, 7 * nz), (gsel.shape, stack7.shape)
     if done is None:
         done = jnp.zeros((B,), dtype=bool)
     done8 = jnp.broadcast_to(done.astype(x.dtype)[:, None], (B, 8))
+    prec = {
+        "highest": jax.lax.Precision.HIGHEST,
+        "high": jax.lax.Precision.HIGH,
+        "default": jax.lax.Precision.DEFAULT,
+    }[precision]
     kern = functools.partial(
         _chunk_kernel,
         n_iter=n_iter,
@@ -487,6 +591,8 @@ def admm_chunk(
         pinf_margin=float(pinf_margin),
         bt=bt,
         ir_steps=ir_steps,
+        gw=gw3 // 3,
+        prec=prec,
     )
     # float masks / capped bounds for the in-kernel certificates (see kernel)
     uinf = (~jnp.isfinite(ubar)).astype(x.dtype)
@@ -515,8 +621,14 @@ def admm_chunk(
             tile(bt, m),  # ucap
             tile(bt, m),  # lcap
             tile(bt, 8),  # done mask
-            shared(4, m, nz),  # ak4
+            tile(bt, 8),  # w7
+            shared(m, nz),  # a0
             shared(nz, nz),  # pbar
+            shared(nz, gw3),  # gsel
+            shared(gw3, m),  # scat
+            shared(m, gw3),  # rsel
+            shared(gw3, nz),  # gscat
+            shared(nz, 7 * nz),  # stack7
             shared(1, m),  # einv
             shared(1, nz),  # dinv
         ],
@@ -532,10 +644,14 @@ def admm_chunk(
             jax.ShapeDtypeStruct((B, m), z.dtype),
             jax.ShapeDtypeStruct((B, 8), x.dtype),
         ),
+        scratch_shapes=(
+            [pltpu.VMEM((bt, nz, nz), jnp.bfloat16)] * 2 if two_limb else []
+        ),
         # the default 16M scoped-vmem cap under-uses the chip; double-buffered
         # tile inputs for this kernel need ~22M
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(minv, coef, qbar, lbar, ubar, rho, x, y, z, uinf, linf, ucap, lcap,
-      done8, ak4, pbar, einv.reshape(1, -1), dinv.reshape(1, -1))
+      done8, w7, a0, pbar, gsel, scat, rsel, gscat, stack7,
+      einv.reshape(1, -1), dinv.reshape(1, -1))
     return out

@@ -25,6 +25,9 @@ def main():
                     help="chunks per jit call (device-side fori_loop) — "
                     "amortizes the remote-dispatch round trip (~25 ms), which "
                     "otherwise floors every single-call measurement")
+    ap.add_argument("--precision", default="highest",
+                    choices=("highest", "high", "default"),
+                    help="MXU pass count for in-kernel fp32 dots")
     args = ap.parse_args()
 
     import jax
@@ -33,14 +36,18 @@ def main():
 
     B = args.batch
     nz, m = 256, 512
+    seg = 51  # Nx+1 at the metric horizon
 
     # ---- roofline accounting (VERDICT r1 #3) -------------------------------
-    # MXU MACs per ADMM iteration per problem (padded dims):
-    #   body:    matvec_AT(rho z - y) + matvec_A(xt)          = 2 * 4*m*nz
-    #   solve_M: apply_minv                                    = nz^2
-    #            + ir_steps * (Pbar mv + A mv + A' mv + minv)  = ir*(2*nz^2 + 2*4*m*nz)
+    # MXU MACs per ADMM iteration per problem (padded dims; compact-matmul
+    # corrections of width 3*gw, structured-stack M v refinement):
+    #   A / A' matvec: m*nz base + (nz*3gw + 3gw*m) correction pair
+    #   solve_M: apply_minv nz^2 + ir_steps * (7*nz^2 stack + nz^2 minv)
+    gwp = 64  # ceil((Nx+1)/64)*64 at the metric horizon
+    mv = m * nz + nz * 3 * gwp + 3 * gwp * m
+
     def macs_per_iter(ir):
-        return 2 * 4 * m * nz + nz * nz + ir * (2 * nz * nz + 2 * 4 * m * nz)
+        return 2 * mv + nz * nz + ir * 8 * nz * nz
 
     # HBM bytes per chunk per problem: the per-problem inverse streams once
     # per chunk (VMEM-resident across the fused iterations); vectors are small
@@ -71,8 +78,15 @@ def main():
     x = jax.random.normal(ks[6], (B, nz), f32)
     y = jax.random.normal(ks[7], (B, m), f32)
     z = jax.random.normal(ks[8], (B, m), f32)
-    ak4 = jax.random.normal(ks[9], (4, m, nz), f32) * 0.1
+    a0 = jax.random.normal(ks[9], (m, nz), f32) * 0.1
     pbar = jax.random.normal(ks[10], (nz, nz), f32) * 0.1
+    gw = -(-seg // 64) * 64
+    gsel = jax.random.normal(ks[11], (nz, 3 * gw), f32) * 0.1
+    scat = jax.random.normal(ks[0], (3 * gw, m), f32) * 0.1
+    rsel = jax.random.normal(ks[1], (m, 3 * gw), f32) * 0.1
+    gscat = jax.random.normal(ks[2], (3 * gw, nz), f32) * 0.1
+    stack7 = jax.random.normal(ks[3], (nz, 7 * nz), f32) * 0.01
+    w7 = jnp.ones((B, 8), f32)
     einv = jnp.ones((m,), f32)
     dinv = jnp.ones((nz,), f32)
     n_done = int(B * args.done_frac)
@@ -83,23 +97,26 @@ def main():
         if B % bt:
             continue
         for ir in (1, 2):
-            def run(minv, coef, qbar, lbar, ubar, rho, x, y, z, ak4, pbar,
-                    einv, dinv, _bt=bt, _ir=ir):
+            def run(minv, coef, qbar, lbar, ubar, rho, x, y, z, w7, a0, pbar,
+                    gsel, scat, rsel, gscat, stack7, einv, dinv,
+                    _bt=bt, _ir=ir):
                 def body(_, carry):
                     x, y, z = carry
                     x, y, z, _ = admm_pallas.admm_chunk(
-                        minv, coef, qbar, lbar, ubar, rho, x, y, z, ak4,
-                        pbar, einv, dinv, n_iter=args.iters, sigma=1e-6,
+                        minv, coef, qbar, lbar, ubar, rho, x, y, z, w7, a0,
+                        pbar, gsel, scat, rsel, gscat, stack7, einv, dinv,
+                        n_iter=args.iters, sigma=1e-6,
                         alpha=1.6, eps_pinf=1e-4, eps_dinf=1e-4,
                         pinf_margin=1.0, bt=_bt, ir_steps=_ir,
+                        precision=args.precision,
                         interpret=False, done=done)
                     return x, y, z
                 x, y, z = jax.lax.fori_loop(0, L, body, (x, y, z))
                 return x[0, 0]
             fn = jax.jit(run)
             try:
-                a = (minv, coef, qbar, lbar, ubar, rho, x, y, z, ak4,
-                     pbar, einv, dinv)
+                a = (minv, coef, qbar, lbar, ubar, rho, x, y, z, w7, a0,
+                     pbar, gsel, scat, rsel, gscat, stack7, einv, dinv)
                 float(np.asarray(fn(*a)))  # compile + sync
                 ts = []
                 for _ in range(args.reps):
