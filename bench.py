@@ -89,11 +89,20 @@ def main():
     # exit early with the same MAX_ITER -> failsafe outcome the cap gives,
     # so closed-loop behavior is unchanged while the batch (whose iteration
     # count is a max over scenarios) keeps moving.
+    check_every = int(os.environ.get("BENCH_CHECK_EVERY", "25"))
+    # stall windows are counted in chunks; keep them constant in ITERATIONS
+    # when the check interval changes
+    scale = check_every / 25
     settings = admm.ADMMSettings(
         max_iter=int(os.environ.get("BENCH_MAX_ITER", "4000")),
         solve_mode=os.environ.get("BENCH_SOLVE_MODE", "pallas"),
-        stall_exit_chunks=int(os.environ.get("BENCH_STALL", "12")),
+        check_every=check_every,
+        stall_exit_chunks=max(1, round(
+            int(os.environ.get("BENCH_STALL", "12")) / scale)),
+        stall_tighten_chunks=max(1, round(40 / scale)),
         adaptive_rho=os.environ.get("BENCH_ADAPTIVE_RHO", "1") == "1",
+        ns_refresh_drift=float(os.environ.get("BENCH_NS_DRIFT", "0.02")),
+        ir_steps=int(os.environ.get("BENCH_IR", "1")),
     )
     t0 = time.perf_counter()
     engine = discrete.build_engine(sim, mpc, fail, debris, settings=settings, dtype=jnp.float32)
@@ -155,6 +164,17 @@ def main():
     names = {0: "UNSOLVED", 1: "SOLVED", 2: "MAX_ITER", 3: "PINF", 4: "DINF"}
     hist = {names[k]: int((st == k).sum()) for k in names}
     mix = {k: round(v / max(alive_steps, 1), 4) for k, v in hist.items()}
+
+    # per-status solver-effort distribution (drives stall/cap tuning): how
+    # many iterations problems of each outcome actually needed
+    di = np.asarray(out.done_iters)
+    alive_mask = np.asarray(out.ctrl_seq) > 0
+    for code in (1, 2, 3):
+        sel = di[(st == code) & alive_mask]
+        if sel.size:
+            q = np.percentile(sel, [50, 90, 99])
+            log(f"  done_iters[{names[code]}]: p50={q[0]:.0f} p90={q[1]:.0f} "
+                f"p99={q[2]:.0f} max={sel.max()} n={sel.size}")
 
     succ = float(np.asarray(out.success.mean()))
     mean_iters = float(np.asarray(out.iters.mean()))

@@ -112,6 +112,21 @@ class ADMMSettings(NamedTuple):
     # solve would.
     stall_exit_chunks: int = 0
     stall_improve: float = 0.95
+    # second-phase stall tightening: after ``stall_tighten_chunks`` chunks a
+    # problem must improve a residual by (1 - stall_improve2) per window to
+    # keep running. Measured (bench flagship): solves that DO converge finish
+    # at p50=25 / p99=475 iterations, while stall-exited problems burned
+    # p50=425 / p90=975 iterations producing iterates the failsafe discards —
+    # a slow-but-steady 5% drip let them evade the single-phase exit for
+    # thousands of iterations. Solves still converging past 1000 iterations
+    # are <0.3% of SOLVED, so the tight phase shifts the status mix by well
+    # under a point.
+    stall_improve2: float = 0.75
+    stall_tighten_chunks: int = 40
+    # compact sparse needy sets into a B/div buffer before a Newton-Schulz
+    # refresh (the masked refresh kernel skips whole tiles only — one needy
+    # problem makes its tile recompute NS for all bt problems). 0 disables.
+    refresh_compact_div: int = 8
     # overtime cascade ('pallas' mode): each time the active count fits in
     # half the current lane width, compact the stragglers (argsort gather)
     # into the smaller lane and keep iterating there, halving from B/2 down
@@ -196,6 +211,10 @@ class ADMMResult(NamedTuple):
     pri_res: jnp.ndarray  # (B,) final unscaled primal residual
     dua_res: jnp.ndarray  # (B,) final unscaled dual residual
     state: ADMMState
+    # per-problem iterations until the problem finished (converged /
+    # certified / stalled); == iters for problems that ran to the cap,
+    # 0 for inactive problems. Drives straggler/tail diagnostics.
+    done_iters: jnp.ndarray = jnp.zeros((), dtype=jnp.int32)  # (B,)
 
 
 # --------------------------------------------------------------------------
@@ -610,7 +629,8 @@ def _admm_solve_impl(prob, coeffs, l, u, state, settings, qbar, active=None):
 
     def body(carry):
         (x, y, z, rp_prev, rd_prev, done, status, chunk, L, rho_scale,
-         best_rp, best_rd, last_prog) = carry
+         best_rp, best_rd, last_prog, done_chunk) = carry
+        done_in = done
         (x_n, y_n, z_n, _, _), _ = jax.lax.scan(
             one_iter,
             (x, y, z, L, rho_scale),
@@ -653,9 +673,9 @@ def _admm_solve_impl(prob, coeffs, l, u, state, settings, qbar, active=None):
         done = done | newly_done
 
         if settings.stall_exit_chunks:
-            improved = (rp <= settings.stall_improve * best_rp) | (
-                rd <= settings.stall_improve * best_rd
-            )
+            thr = jnp.where(chunk + 1 >= settings.stall_tighten_chunks,
+                            settings.stall_improve2, settings.stall_improve)
+            improved = (rp <= thr * best_rp) | (rd <= thr * best_rd)
             last_prog = jnp.where(done | improved, chunk + 1, last_prog)
             stalled = (~done) & (chunk + 1 - last_prog >= settings.stall_exit_chunks)
             status = jnp.where(stalled, MAX_ITER, status)
@@ -688,8 +708,9 @@ def _admm_solve_impl(prob, coeffs, l, u, state, settings, qbar, active=None):
             L = jax.lax.cond(jnp.any(trig), lambda: factor(new_scale), lambda: L)
             rho_scale = new_scale
 
+        done_chunk = jnp.where(done & ~done_in, chunk + 1, done_chunk)
         return (x, y, z, rp, rd, done, status, chunk + 1, L, rho_scale,
-                best_rp, best_rd, last_prog)
+                best_rp, best_rd, last_prog, done_chunk)
 
     rp0 = jnp.full((B,), jnp.inf, dtype=dt)
     carry0 = (
@@ -706,10 +727,12 @@ def _admm_solve_impl(prob, coeffs, l, u, state, settings, qbar, active=None):
         rp0,  # best_rp
         rp0,  # best_rd
         jnp.zeros((B,), dtype=jnp.int32),  # last progress chunk
+        jnp.zeros((B,), dtype=jnp.int32),  # done_chunk
     )
     (x, y, z, rp, rd, done, status, chunks, _, rho_scale,
-     _, _, _) = jax.lax.while_loop(cond, body, carry0)
+     _, _, _, done_chunk) = jax.lax.while_loop(cond, body, carry0)
     status = jnp.where(done, status, MAX_ITER).astype(jnp.int32)
+    done_chunk = jnp.where(active & (done_chunk == 0), chunks, done_chunk)
 
     return ADMMResult(
         x=prob.D * x,
@@ -720,6 +743,7 @@ def _admm_solve_impl(prob, coeffs, l, u, state, settings, qbar, active=None):
         state=ADMMState(xbar=x, ybar=y, zbar=z, rho_scale=rho_scale,
                         minv=state.minv, minv_ok=state.minv_ok,
                         ref_coef=state.ref_coef),
+        done_iters=done_chunk * settings.check_every,
     )
 
 
@@ -779,15 +803,42 @@ def _solve_pallas(prob, coeffs, lbar, ubar, state, settings, qbar, active):
 
     def make_ns_refresh(coef_l, bt_l):
         ns_weights = make_ns_weights(coef_l)
+        B_l = coef_l.shape[0]
 
-        def ns_refresh(minv, rho_scale, needmask):
+        def full_refresh(minv, rho_scale, needmask):
             w = ns_weights(rho_scale)
             return admm_pallas.masked_safe_refresh(
                 ns_stack, w, minv, needmask,
                 warm_iters=settings.ns_warm_iters,
                 cold_iters=settings.ns_cold_iters, bt=bt_l)
 
-        return ns_refresh
+        # needy sets are usually sparse (a debris-slope drift here, a rho
+        # trigger there), but a tile with ONE needy problem runs the
+        # Newton-Schulz loop for all bt problems in it (the masked kernel
+        # skips whole tiles only). Compact needy rows into a K-slot buffer
+        # first; fall back to the full-width refresh when they don't fit.
+        K = -(-max(bt_l, B_l // max(settings.refresh_compact_div, 1)) // bt_l) * bt_l
+        if not settings.refresh_compact_div or K >= B_l:
+            return full_refresh
+
+        def compact_refresh(minv, rho_scale, needmask):
+            def small():
+                idx = jnp.argsort(~needmask, stable=True)[:K]
+                w = make_ns_weights(coef_l[idx])(rho_scale[idx])
+                sub = admm_pallas.masked_safe_refresh(
+                    ns_stack, w, minv[idx], needmask[idx],
+                    warm_iters=settings.ns_warm_iters,
+                    cold_iters=settings.ns_cold_iters,
+                    bt=_tile_width(K, settings.pallas_tile))
+                return minv.at[idx].set(sub)
+
+            return jax.lax.cond(
+                jnp.sum(needmask) <= K,
+                small,
+                lambda: full_refresh(minv, rho_scale, needmask),
+            )
+
+        return compact_refresh
 
     # Defensive iterate sanitation: a previous solve that diverged to inf/NaN
     # (fp32 overflow along an infeasibility ray, or a since-fixed inverse
@@ -848,7 +899,8 @@ def _solve_pallas(prob, coeffs, lbar, ubar, state, settings, qbar, active):
 
         def body(carry):
             (x, y, z, rp_prev, rd_prev, done, status, chunk, minv, rho_scale,
-             best_rp, best_rd, last_prog) = carry
+             best_rp, best_rd, last_prog, done_chunk) = carry
+            done_in = done
             rho = rho_scale[:, None] * prob.rho_vec
             x_n, y_n, z_n, stats = admm_pallas.admm_chunk(
                 minv, coef_l, qbar_l, lbar_l, ubar_l, rho, x, y, z,
@@ -894,9 +946,10 @@ def _solve_pallas(prob, coeffs, lbar, ubar, state, settings, qbar, active):
             done = done | newly_done
 
             if settings.stall_exit_chunks:
-                improved = (rp <= settings.stall_improve * best_rp) | (
-                    rd <= settings.stall_improve * best_rd
-                )
+                thr = jnp.where(chunk + 1 >= settings.stall_tighten_chunks,
+                                settings.stall_improve2,
+                                settings.stall_improve)
+                improved = (rp <= thr * best_rp) | (rd <= thr * best_rd)
                 last_prog = jnp.where(done | improved, chunk + 1, last_prog)
                 stalled = (~done) & (
                     chunk + 1 - last_prog >= settings.stall_exit_chunks)
@@ -928,8 +981,9 @@ def _solve_pallas(prob, coeffs, lbar, ubar, state, settings, qbar, active):
                 )
                 rho_scale = new_scale
 
+            done_chunk = jnp.where(done & ~done_in, chunk + 1, done_chunk)
             return (x, y, z, rp, rd, done, status, chunk + 1, minv,
-                    rho_scale, best_rp, best_rd, last_prog)
+                    rho_scale, best_rp, best_rd, last_prog, done_chunk)
 
         return cond, body
 
@@ -960,12 +1014,13 @@ def _solve_pallas(prob, coeffs, lbar, ubar, state, settings, qbar, active):
         rp0,  # best_rp
         rp0,  # best_rd
         jnp.zeros((B,), dtype=jnp.int32),  # last progress chunk
+        jnp.zeros((B,), dtype=jnp.int32),  # done_chunk
     )
     cond1, body1 = make_loop(coef, qbar, lbar, ubar, bt,
                              stop_at=widths[0] if widths else None)
     carry = jax.lax.while_loop(cond1, body1, carry0)
 
-    _CHUNK_IDX = 7  # scalar chunk counter inside the 13-tuple carry
+    _CHUNK_IDX = 7  # scalar chunk counter inside the 14-tuple carry
 
     for li, w in enumerate(widths):
         next_stop = widths[li + 1] if li + 1 < len(widths) else None
@@ -989,7 +1044,8 @@ def _solve_pallas(prob, coeffs, lbar, ubar, state, settings, qbar, active):
                              carry)
 
     (x, y, z, rp, rd, done, status, chunks, minv, rho_scale,
-     _, _, _) = carry
+     _, _, _, done_chunk) = carry
+    done_chunk = jnp.where(active & (done_chunk == 0), chunks, done_chunk)
 
     status = jnp.where(done, status, MAX_ITER).astype(jnp.int32)
     # record the rho the inverse currently reflects (mid-solve adaptation
@@ -1010,4 +1066,5 @@ def _solve_pallas(prob, coeffs, lbar, ubar, state, settings, qbar, active):
         state=ADMMState(xbar=x, ybar=y, zbar=z, rho_scale=rho_scale,
                         minv=minv, minv_ok=jnp.ones((), dtype=bool),
                         ref_coef=ref_out),
+        done_iters=done_chunk * settings.check_every,
     )

@@ -92,10 +92,11 @@ class RolloutOut(NamedTuple):
     noise: jnp.ndarray  # (T+1, B, 4)
     ctrl_seq: jnp.ndarray  # (T, B) int32 codes 0/1/2/3
     status: jnp.ndarray  # (T, B) solver statuses
-    iters: jnp.ndarray  # (T,) ADMM iterations per step
+    iters: jnp.ndarray  # (T,) ADMM iterations per step (batch max)
     i_term: jnp.ndarray  # (B,) termination step (== nsim if none)
     success: jnp.ndarray  # (B,) bool
     final_rho: jnp.ndarray  # (B,)
+    done_iters: jnp.ndarray  # (T, B) per-problem iterations to finish
 
 
 def build_engine(
@@ -480,6 +481,7 @@ def _step(engine: DiscreteEngine, carry: _Carry, step_in,
         jnp.where(alive, code, 0),
         jnp.where(alive, res.status, -1),
         res.iters,
+        jnp.where(alive, res.done_iters, 0),
     )
     return new_carry, out
 
@@ -512,7 +514,8 @@ def rollout(
         carry, outs = jax.lax.scan(
             lambda c, x: _step(engine, c, x, is_reject_b), carry0, steps
         )
-    x_true_s, xest_s, ctrl_s, noise_s, code_s, status_s, iters_s = outs
+    (x_true_s, xest_s, ctrl_s, noise_s, code_s, status_s, iters_s,
+     done_iters_s) = outs
 
     # prepend initial column (reference stores initial conditions at index 0)
     x_true = jnp.concatenate([x0b[None], x_true_s], axis=0)
@@ -532,6 +535,7 @@ def rollout(
         i_term=carry.i_term,
         success=carry.succ,
         final_rho=carry.admm_state.rho_scale,
+        done_iters=done_iters_s,
     )
 
 
@@ -572,9 +576,8 @@ def rollout_chunked(
             progress(s0 + seg, T, carry)
 
     cat = lambda xs: jnp.concatenate(xs, axis=0)
-    x_true_s, xest_s, ctrl_s, noise_s, code_s, status_s, iters_s = (
-        cat([o[k] for o in outs]) for k in range(7)
-    )
+    (x_true_s, xest_s, ctrl_s, noise_s, code_s, status_s, iters_s,
+     done_iters_s) = (cat([o[k] for o in outs]) for k in range(8))
     x_true = jnp.concatenate([x0b[None], x_true_s], axis=0)
     xest0 = jnp.concatenate([x0b, jnp.zeros((B, 2), dtype=x0b.dtype)], axis=1)
     x_est = jnp.concatenate([xest0[None], xest_s], axis=0)
@@ -591,4 +594,5 @@ def rollout_chunked(
         i_term=carry.i_term,
         success=carry.succ,
         final_rho=carry.admm_state.rho_scale,
+        done_iters=done_iters_s,
     )

@@ -235,3 +235,44 @@ def test_stall_exit_cuts_plateau(problem):
     res_ref = _solve_batch(p, p["l"], p["u"], B=1)
     np.testing.assert_allclose(np.asarray(res.x[0]), np.asarray(res_ref.x[0]),
                                atol=1e-10)
+
+
+def test_status_cross_check_vs_real_osqp(problem):
+    """Cross-validate status semantics against the REAL `osqp` package (the
+    binary the reference drives via prob.solve()) when it is installed —
+    the accumulated-delta infeasibility certificate was applied to both
+    in-repo oracles in the same change as the solver, so without this check
+    the 'OSQP-faithful' parity is self-referential (ADVICE r1). Skipped
+    when osqp is absent from the environment."""
+    osqp = pytest.importorskip("osqp")
+    import scipy.sparse as sp
+
+    p = problem
+    dims = p["dims"]
+    static = p["static"]
+    c1, c2, s = p["coeffs"]
+    A = materialize_A(static, c1, c2, s)
+
+    def real_status(l, u):
+        m = osqp.OSQP()
+        m.setup(sp.csc_matrix(static.P), static.q, sp.csc_matrix(A),
+                l, u, verbose=False)
+        return m.solve().info.status
+
+    def ours(l, u):
+        lB = jnp.asarray(l)[None]
+        uB = jnp.asarray(u)[None]
+        coeffs = tuple(jnp.full(1, v, dtype=jnp.float64) for v in (c1, c2, s))
+        res = admm.admm_solve(p["prob"], coeffs, lB, uB,
+                              admm.init_state(p["prob"], 1))
+        return int(res.status[0])
+
+    # feasible fixture
+    assert real_status(p["l"], p["u"]).startswith("solved")
+    assert ours(p["l"], p["u"]) == admm.SOLVED
+    # genuinely primal-infeasible fixture (debris lower bound 1e3)
+    l2 = p["l"].copy()
+    for j in range(dims.Nb + 1):
+        l2[dims.n_eq + j * 5 + 4] = 1e3
+    assert "infeasible" in real_status(l2, p["u"])
+    assert ours(l2, p["u"]) == admm.PRIMAL_INFEASIBLE
