@@ -83,10 +83,18 @@ class ADMMSettings(NamedTuple):
     pinf_support_margin: float = 1.0
     # 'chol': exact batched Cholesky + triangular solves (XLA; oracle-parity
     # path). 'pallas': fused-chunk Pallas kernels with Newton-Schulz inverse
-    # maintenance (the TPU production path; see ops.admm_pallas).
+    # maintenance (round-2 TPU path; see ops.admm_pallas). 'eig':
+    # shared-basis generalized-eigendecomposition solve — per-combo
+    # eigenbases + exact debris Woodbury correction, no iterative
+    # refinement needed (round-3 TPU production path; see ops.admm_eig).
     solve_mode: str = "chol"
     ns_warm_iters: int = 3
     ns_cold_iters: int = 45
+    # Newton-Schulz iterations for the (K, K) Woodbury inner inverse in
+    # 'eig' mode (warm = previous T^{-1}; cold = norm-scaled T', needs the
+    # full basin-entry run — measured ~25 iters on the flagship problem)
+    eig_warm_iters: int = 3
+    eig_cold_iters: int = 30
     # batch-tile width for the fused kernels; 32 measured ~2x faster than 8
     # at B=1024 (wider rows through the MXU weight path), still ~16 MB/tile
     # double-buffered VMEM. _tile_width() halves it until it divides B.
@@ -186,6 +194,16 @@ class ADMMProblem(NamedTuple):
     scat: jnp.ndarray  # (3*gw, m)
     rsel: jnp.ndarray  # (m, 3*gw)
     gscat: jnp.ndarray  # (3*gw, nz)
+    # shared-basis ('eig') solve data (None unless prepared with
+    # solve_mode='eig'; see ops.admm_eig for the factorization):
+    # per-combo stacks indexed by combo = (c1>0)*2 + (c2>0)
+    eig_A: Optional[jnp.ndarray] = None  # (4, m, nz) A_c = A0bar + c1 S1 + c2 S2
+    eig_W: Optional[jnp.ndarray] = None  # (4, nz, nz) generalized eigenbasis
+    eig_lam: Optional[jnp.ndarray] = None  # (4, nz) eigenvalues of (H_c, base)
+    eig_YT: Optional[jnp.ndarray] = None  # (4, K, nz) Z' W_c
+    eig_w33row: Optional[jnp.ndarray] = None  # (1, K) D33 diagonal
+    eig_w33col: Optional[jnp.ndarray] = None  # (K, K) same, lane-broadcast
+    eig_K1: Optional[jnp.ndarray] = None  # (K, K) block-swap matrix
 
 
 class ADMMState(NamedTuple):
@@ -380,6 +398,47 @@ def prepare_problem(
 
     AK = np.concatenate([A0bar, S1b, S2b, S3b], axis=0)
 
+    # ---- shared-basis ('eig') solve data: per-combo generalized
+    # eigendecompositions + the debris Woodbury factor (see ops.admm_eig).
+    eig_data = {}
+    if settings.solve_mode == "eig":
+        import scipy.linalg as sla
+
+        base = Pbar + settings.sigma * np.eye(nz_now)
+        # rebuild the F-structure on the (possibly padded) dims: weights for
+        # the debris factor Z = [U3 | E3], U3[:, j] = rho_j*sc3_j * ad_j
+        w3 = rho[dr] * sc3
+        Kw = 2 * gw
+        Z = np.zeros((nz_now, Kw))
+        for j in range(L):
+            Z[:, j] = w3[j] * A0bar[dr[j], :]
+            Z[px[j], gw + j] = 1.0
+        w33 = np.zeros(Kw)
+        w33[gw : gw + L] = rho[dr] * sc3**2
+        K1 = np.zeros((Kw, Kw))
+        K1[:gw, gw:] = np.eye(gw)
+        K1[gw:, :gw] = np.eye(gw)
+
+        A_st, W_st, lam_st, YT_st = [], [], [], []
+        for combo in range(4):
+            c1v = 1.0 if combo & 2 else -1.0
+            c2v = 1.0 if combo & 1 else -1.0
+            H = G + c1v * F1 + c2v * F2 + c1v * c2v * F12
+            lam, V = sla.eigh(H, base)
+            A_st.append(A0bar + c1v * S1b + c2v * S2b)
+            W_st.append(V)
+            lam_st.append(lam)
+            YT_st.append(Z.T @ V)
+        eig_data = dict(
+            eig_A=jnp.asarray(np.stack(A_st), dtype=dtype),
+            eig_W=jnp.asarray(np.stack(W_st), dtype=dtype),
+            eig_lam=jnp.asarray(np.stack(lam_st), dtype=dtype),
+            eig_YT=jnp.asarray(np.stack(YT_st), dtype=dtype),
+            eig_w33row=jnp.asarray(w33[None, :], dtype=dtype),
+            eig_w33col=jnp.asarray(np.tile(w33[:, None], (1, Kw)), dtype=dtype),
+            eig_K1=jnp.asarray(K1, dtype=dtype),
+        )
+
     as_dt = lambda x: jnp.asarray(x, dtype=dtype)
     as_i = lambda x: jnp.asarray(x, dtype=jnp.int32)
     return ADMMProblem(
@@ -407,6 +466,7 @@ def prepare_problem(
         scat=as_dt(scat),
         rsel=as_dt(rsel),
         gscat=as_dt(gscat),
+        **eig_data,
     )
 
 
@@ -416,7 +476,14 @@ def init_state(
     nz = prob.Pbar.shape[0]
     m = prob.A0bar.shape[0]
     dt = prob.Pbar.dtype
-    minv_shape = (batch, nz, nz) if settings.solve_mode == "pallas" else (batch, 1, 1)
+    if settings.solve_mode == "pallas":
+        minv_shape = (batch, nz, nz)
+    elif settings.solve_mode == "eig":
+        # 'eig' reuses the minv slot for the (K, K) debris Woodbury inner
+        # inverse T^{-1} — 4x smaller than the old per-problem Minv
+        minv_shape = (batch, prob.eig_YT.shape[1], prob.eig_YT.shape[1])
+    else:
+        minv_shape = (batch, 1, 1)
     return ADMMState(
         xbar=jnp.zeros((batch, nz), dtype=dt),
         ybar=jnp.zeros((batch, m), dtype=dt),
@@ -529,6 +596,8 @@ def _admm_solve_impl(prob, coeffs, l, u, state, settings, qbar, active=None):
         active = jnp.ones((B,), dtype=bool)
     if settings.solve_mode == "pallas":
         return _solve_pallas(prob, coeffs, lbar, ubar, state, settings, qbar, active)
+    if settings.solve_mode == "eig":
+        return _solve_eig(prob, coeffs, lbar, ubar, state, settings, qbar, active)
     sigma = jnp.asarray(settings.sigma, dtype=dt)
     alpha = jnp.asarray(settings.alpha, dtype=dt)
 
@@ -1066,5 +1135,257 @@ def _solve_pallas(prob, coeffs, lbar, ubar, state, settings, qbar, active):
         state=ADMMState(xbar=x, ybar=y, zbar=z, rho_scale=rho_scale,
                         minv=minv, minv_ok=jnp.ones((), dtype=bool),
                         ref_coef=ref_out),
+        done_iters=done_chunk * settings.check_every,
+    )
+
+
+def _solve_eig(prob, coeffs, lbar, ubar, state, settings, qbar, active):
+    """Shared-basis solve path (see ops.admm_eig for the factorization).
+
+    The batch is sorted by funnel-sign combo = (c1>0)*2 + (c2>0) into four
+    bt-padded groups so every kernel tile is combo-pure; a per-tile combo
+    index (scalar prefetch) selects A_c / W_c / YT_c inside the kernels.
+    Dummy pad slots start done=True and are never scattered back. The
+    per-problem rho scale enters EXACTLY through the diagonal
+    1/(1 + rho_scale*lam) recomputed per chunk, so rho adaptation triggers a
+    Woodbury-inner refresh only for debris-active (s != 0) problems — for
+    everyone else it is free. The straggler machinery is tile-granular: the
+    chunk kernel skips tiles whose problems are all done, so solver cost
+    scales with active tiles at bt granularity without the row-compaction
+    cascade of the 'pallas' mode.
+    """
+    from mpc_arpo_project_tpu.ops import admm_eig
+
+    dt = prob.Pbar.dtype
+    B = lbar.shape[0]
+    nz = prob.Pbar.shape[0]
+    m = prob.A0bar.shape[0]
+    K = prob.eig_YT.shape[1]
+    bt = _tile_width(B, settings.pallas_tile)
+    c1, c2, s = coeffs
+    combo = (c1 > 0).astype(jnp.int32) * 2 + (c2 > 0).astype(jnp.int32)
+
+    # s-only correction factors: the third gather/scatter group (the first
+    # two are folded into the per-combo A_c)
+    gw3 = prob.gsel.shape[1]
+    gw = gw3 // 3
+    assert K == 2 * gw, (K, gw)
+    gsel_s = prob.gsel[:, 2 * gw:]
+    scat_s = prob.scat[2 * gw:]
+    rsel_s = prob.rsel[:, 2 * gw:]
+    gscat_s = prob.gscat[2 * gw:]
+
+    # ---- group-pure slot assignment (padded to tile multiples)
+    n_slots = B + 4 * bt
+    oh = (combo[:, None] == jnp.arange(4, dtype=jnp.int32)[None, :]).astype(
+        jnp.int32)
+    counts = oh.sum(axis=0)
+    padded = ((counts + bt - 1) // bt) * bt
+    bounds = jnp.cumsum(padded)
+    goff = bounds - padded
+    rank = jnp.take_along_axis(jnp.cumsum(oh, axis=0) - oh, combo[:, None],
+                               axis=1)[:, 0]
+    slot = goff[combo] + rank  # (B,) unique slots
+    src = jnp.full((n_slots,), B, jnp.int32).at[slot].set(
+        jnp.arange(B, dtype=jnp.int32))
+    dummy = src >= B
+    srcc = jnp.clip(src, 0, B - 1)
+    n_tiles = n_slots // bt
+    tpos = jnp.arange(n_tiles, dtype=jnp.int32) * bt
+    tile_combo = (tpos[:, None] >= bounds[None, :3]).sum(axis=1).astype(
+        jnp.int32)
+
+    gat = lambda a: a[srcc]
+    c1s, c2s, ss = gat(c1), gat(c2), gat(s)
+    rsc = gat(state.rho_scale)
+    lb, ub = gat(lbar), gat(ubar)
+    qb = gat(qbar)
+    act = gat(active) & ~dummy
+    ref = gat(state.ref_coef)
+    tinv = gat(state.minv)
+    lam_s = prob.eig_lam[gat(combo)]  # (n_slots, nz)
+
+    # Defensive sanitation (see _solve_pallas): non-finite warm iterates or a
+    # poisoned inner inverse reset to cold values
+    xg, yg, zg = gat(state.xbar), gat(state.ybar), gat(state.zbar)
+    it_finite = (
+        jnp.isfinite(xg).all(axis=1)
+        & jnp.isfinite(yg).all(axis=1)
+        & jnp.isfinite(zg).all(axis=1)
+    )
+    x0 = jnp.where(it_finite[:, None], xg, 0.0)
+    y0 = jnp.where(it_finite[:, None], yg, 0.0)
+    z0 = jnp.where(it_finite[:, None], zg, 0.0)
+    tv_finite = jnp.isfinite(tinv).all(axis=(1, 2))
+    tinv = jnp.where(tv_finite[:, None, None], tinv, 0.0)
+
+    def dg_of(r):
+        return 1.0 / (1.0 + r[:, None] * lam_s)
+
+    def scal_of(r):
+        return jnp.concatenate(
+            [r[:, None], ss[:, None], jnp.zeros((n_slots, 6), dtype=dt)],
+            axis=1)
+
+    sz = ss != 0.0
+    # exact refresh gating: no iterative refinement in this mode, so T^{-1}
+    # must reflect the CURRENT (combo, r, s) whenever the correction is live
+    need = act & sz & (
+        (ref[:, 0] != c1s) | (ref[:, 1] != c2s) | (ref[:, 2] != ss)
+        | (ref[:, 3] != rsc) | ~tv_finite
+    )
+
+    def refresh(tv, r, mask):
+        return admm_eig.tinv_safe_refresh(
+            tile_combo, scal_of(r), dg_of(r), tv, mask, prob.eig_YT,
+            prob.eig_w33col, warm_iters=settings.eig_warm_iters,
+            cold_iters=settings.eig_cold_iters, bt=bt,
+            precision=settings.mxu_precision)
+
+    tinv = jax.lax.cond(jnp.any(need), lambda: refresh(tinv, rsc, need),
+                        lambda: tinv)
+    ref = jnp.where(need[:, None],
+                    jnp.stack([c1s, c2s, ss, rsc], axis=1), ref)
+
+    sigma = float(settings.sigma)
+    n_checks = settings.max_iter // settings.check_every
+    adapt_stride = max(1, settings.adaptive_rho_interval // settings.check_every)
+
+    def cond(carry):
+        done, chunk = carry[5], carry[7]
+        return (~jnp.all(done)) & (chunk < n_checks)
+
+    def body(carry):
+        (x, y, z, rp_prev, rd_prev, done, status, chunk, tinv, rho_scale,
+         ref, best_rp, best_rd, last_prog, done_chunk) = carry
+        done_in = done
+        x_n, y_n, z_n, stats = admm_eig.eig_chunk(
+            tile_combo, tinv, scal_of(rho_scale), qb, lb, ub,
+            dg_of(rho_scale), x, y, z,
+            prob.eig_A, prob.eig_W, prob.eig_YT, prob.Pbar, prob.eig_K1,
+            prob.eig_w33row, gsel_s, scat_s, rsel_s, gscat_s,
+            prob.rho_vec, prob.Einv, prob.Dinv,
+            done=done,
+            n_iter=settings.check_every,
+            sigma=sigma,
+            alpha=float(settings.alpha),
+            eps_pinf=float(settings.eps_pinf),
+            eps_dinf=float(settings.eps_dinf),
+            pinf_margin=float(settings.pinf_support_margin),
+            bt=bt,
+            precision=settings.mxu_precision,
+        )
+        cinv = 1.0 / prob.c
+        rp = jnp.where(done, rp_prev, stats[:, 0])
+        rd = jnp.where(done, rd_prev, cinv * stats[:, 2])
+        rp_rel, rd_rel = stats[:, 1], cinv * stats[:, 3]
+        pinf = stats[:, 4] > 0
+        dinf = stats[:, 5] > 0
+        conv = (rp <= settings.eps_abs + settings.eps_rel * rp_rel) & (
+            rd <= settings.eps_abs + settings.eps_rel * rd_rel
+        )
+        new_status = jnp.where(
+            conv,
+            SOLVED,
+            jnp.where(pinf, PRIMAL_INFEASIBLE,
+                      jnp.where(dinf, DUAL_INFEASIBLE, UNSOLVED)),
+        ).astype(jnp.int32)
+        status = jnp.where(done, status, new_status)
+        newly_done = conv | pinf | dinf
+        keep = done[:, None]
+        x = jnp.where(keep, x, x_n)
+        y = jnp.where(keep, y, y_n)
+        z = jnp.where(keep, z, z_n)
+        done = done | newly_done
+
+        if settings.stall_exit_chunks:
+            thr = jnp.where(chunk + 1 >= settings.stall_tighten_chunks,
+                            settings.stall_improve2,
+                            settings.stall_improve)
+            improved = (rp <= thr * best_rp) | (rd <= thr * best_rd)
+            last_prog = jnp.where(done | improved, chunk + 1, last_prog)
+            stalled = (~done) & (
+                chunk + 1 - last_prog >= settings.stall_exit_chunks)
+            status = jnp.where(stalled, MAX_ITER, status)
+            done = done | stalled
+        best_rp = jnp.minimum(best_rp, rp)
+        best_rd = jnp.minimum(best_rd, rd)
+
+        if settings.adaptive_rho:
+            num = rp / jnp.maximum(rp_rel, 1e-10)
+            den = jnp.maximum(rd / jnp.maximum(rd_rel, 1e-10), 1e-10)
+            ratio = jnp.sqrt(num / den)
+            trig = (
+                ((ratio > settings.adaptive_rho_tol)
+                 | (ratio < 1.0 / settings.adaptive_rho_tol))
+                & ~done
+                & ((chunk + 1) % adapt_stride == 0)
+            )
+            new_scale = jnp.where(trig, rho_scale * ratio, rho_scale)
+            new_scale = jnp.clip(
+                new_scale,
+                RHO_MIN / settings.rho_bar,
+                RHO_MAX / (settings.rho_bar * RHO_EQ_SCALE),
+            )
+            # rho enters the solve exactly through dg; only debris-active
+            # problems carry a (combo, r, s)-dependent inner inverse
+            mask = trig & sz
+            tinv = jax.lax.cond(
+                jnp.any(mask),
+                lambda: refresh(tinv, new_scale, mask),
+                lambda: tinv,
+            )
+            ref = jnp.where(mask[:, None],
+                            jnp.stack([c1s, c2s, ss, new_scale], axis=1), ref)
+            rho_scale = new_scale
+
+        done_chunk = jnp.where(done & ~done_in, chunk + 1, done_chunk)
+        return (x, y, z, rp, rd, done, status, chunk + 1, tinv,
+                rho_scale, ref, best_rp, best_rd, last_prog, done_chunk)
+
+    rp0 = jnp.full((n_slots,), jnp.inf, dtype=dt)
+    carry0 = (
+        x0,
+        y0,
+        z0,
+        rp0,
+        rp0,
+        ~act,  # inactive + dummy slots start done
+        jnp.zeros((n_slots,), dtype=jnp.int32),
+        jnp.zeros((), dtype=jnp.int32),
+        tinv,
+        rsc,
+        ref,
+        rp0,  # best_rp
+        rp0,  # best_rd
+        jnp.zeros((n_slots,), dtype=jnp.int32),  # last progress chunk
+        jnp.zeros((n_slots,), dtype=jnp.int32),  # done_chunk
+    )
+    (x, y, z, rp, rd, done, status, chunks, tinv, rho_scale, ref,
+     _, _, _, done_chunk) = jax.lax.while_loop(cond, body, carry0)
+
+    # ---- scatter back to problem order
+    sc = lambda a: a[slot]
+    x, y, z = sc(x), sc(y), sc(z)
+    rp, rd = sc(rp), sc(rd)
+    status = sc(status)
+    done = sc(done)
+    done_chunk = sc(done_chunk)
+    tinv = sc(tinv)
+    rho_scale = sc(rho_scale)
+    ref = sc(ref)
+
+    status = jnp.where(done, status, MAX_ITER).astype(jnp.int32)
+    done_chunk = jnp.where(active & (done_chunk == 0), chunks, done_chunk)
+
+    return ADMMResult(
+        x=prob.D * x,
+        status=status,
+        iters=chunks * settings.check_every,
+        pri_res=rp,
+        dua_res=rd,
+        state=ADMMState(xbar=x, ybar=y, zbar=z, rho_scale=rho_scale,
+                        minv=tinv, minv_ok=jnp.ones((), dtype=bool),
+                        ref_coef=ref),
         done_iters=done_chunk * settings.check_every,
     )

@@ -149,7 +149,7 @@ def build_engine(
     prob = admm.prepare_problem(
         static, dims, settings, nominal_coeffs=(c1_0, c2_0, -s0), dtype=dtype,
         # MXU-aligned padding for the Pallas kernels (see prepare_problem)
-        pad=(settings.solve_mode == "pallas"),
+        pad=(settings.solve_mode in ("pallas", "eig")),
     )
 
     Ao = np.zeros((6, 6))
