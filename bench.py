@@ -95,21 +95,25 @@ def main():
     scale = check_every / 25
     settings = admm.ADMMSettings(
         max_iter=int(os.environ.get("BENCH_MAX_ITER", "4000")),
-        solve_mode=os.environ.get("BENCH_SOLVE_MODE", "pallas"),
+        solve_mode=os.environ.get("BENCH_SOLVE_MODE", "eig"),
         check_every=check_every,
         stall_exit_chunks=max(1, round(
             int(os.environ.get("BENCH_STALL", "12")) / scale)),
         # phase-2 stall tightening from iteration 600 (24 chunks at the
-        # default check interval): A/B-measured vs the prior 1000 —
+        # default check interval): A/B-measured on the flagship config ONLY
+        # (B=1024, max_iter=4000, round 2) vs the prior 1000 —
         # 1,382 -> 1,847 alive-solves/s at a pinned status mix
         # (56.4/25.4/18.3 vs 56.2/25.0/18.9) and unchanged success rate;
-        # SOLVED p99 is 600-725 iters, so <1.5% of converging solves even
-        # see the tighter 25%-per-window requirement
+        # flagship SOLVED p99 was 600-725 iters in that measurement, so
+        # <1.5% of converging solves even saw the tighter 25%-per-window
+        # requirement. Other BENCH_* combinations inherit these defaults
+        # untested; the settings are recorded in the output extras.
         stall_tighten_chunks=max(1, round(
             int(os.environ.get("BENCH_TIGHTEN", "24")) / scale)),
         adaptive_rho=os.environ.get("BENCH_ADAPTIVE_RHO", "1") == "1",
         ns_refresh_drift=float(os.environ.get("BENCH_NS_DRIFT", "0.02")),
         ir_steps=int(os.environ.get("BENCH_IR", "1")),
+        pallas_tile=int(os.environ.get("BENCH_TILE", "32")),
     )
     t0 = time.perf_counter()
     engine = discrete.build_engine(sim, mpc, fail, debris, settings=settings, dtype=jnp.float32)
@@ -219,6 +223,14 @@ def main():
                     "p50_step_ms": round(p50, 2),
                     "p95_step_ms": round(p95, 2),
                     "batch": B,
+                    "solver": {
+                        "solve_mode": settings.solve_mode,
+                        "max_iter": settings.max_iter,
+                        "check_every": settings.check_every,
+                        "stall_exit_chunks": settings.stall_exit_chunks,
+                        "stall_tighten_chunks": settings.stall_tighten_chunks,
+                        "tile": settings.pallas_tile,
+                    },
                 },
             }
         )

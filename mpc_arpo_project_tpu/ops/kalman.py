@@ -12,8 +12,24 @@ covariance propagation is unnecessary — the cheapest estimator in the family.
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
 from mpc_arpo_project_tpu.ops.riccati import solve_dare
+
+
+def steady_state_gain_np(A, C, W, V):
+    """Float64 host-side twin of :func:`steady_state_gain` (scipy DARE) —
+    used by ``rollout.discrete.build_engine(estimator='kf')`` so the gain is
+    synthesized in fp64 regardless of the rollout dtype, exactly like the
+    controller gains (the reference prototype synthesizes in float64,
+    `misc/MPCrendezvousKALMANONLY.py:62-63`)."""
+    import scipy.linalg as sla
+
+    P = sla.solve_discrete_are(np.asarray(A).T, np.asarray(C).T,
+                               np.asarray(W), np.asarray(V))
+    S = C @ P @ C.T + V
+    L = P @ C.T @ np.linalg.inv(S)
+    return L, P
 
 
 def steady_state_gain(A, C, W, V, iters: int = 30):

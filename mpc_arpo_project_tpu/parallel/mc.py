@@ -67,7 +67,7 @@ def chunk_stats(engine, noise_seq: jnp.ndarray) -> SweepStats:
         out = cont.rollout(engine, noise_seq)
         xr = engine.base.xr
         x_hist, i_term = out.x_true_ticks, out.i_term_sub // engine.n_sub
-        iters = jnp.zeros((), jnp.int32)
+        iters = out.iters.sum().astype(jnp.int32)
     else:
         out = discrete.rollout(engine, noise_seq)
         xr = engine.xr

@@ -58,6 +58,8 @@ class ContinuousOut(NamedTuple):
     status: jnp.ndarray  # (n_ticks, B)
     i_term_sub: jnp.ndarray  # (B,) termination substep index (== n_total if none)
     success: jnp.ndarray  # (B,)
+    iters: jnp.ndarray  # (n_ticks,) ADMM iterations per tick (batch max)
+    done_iters: jnp.ndarray  # (n_ticks, B) per-problem iterations to finish
 
 
 def build_engine(
@@ -68,6 +70,7 @@ def build_engine(
     settings: admm.ADMMSettings = admm.ADMMSettings(),
     dtype=jnp.float32,
     noise_convention: str = "brownian",
+    estimator: str = "ukf",
 ) -> ContinuousEngine:
     """noise_convention:
       * "brownian" (default): per-substep position jump sigma = sig*sqrt(dt) —
@@ -82,7 +85,8 @@ def build_engine(
     Both use sigma_x for BOTH axes, as the reference does (`:296`).
     """
     assert np.isfinite(sim.T_cont), "continuous engine needs T_cont"
-    base = dd.build_engine(sim, mpc, fail, debris, settings=settings, dtype=dtype)
+    base = dd.build_engine(sim, mpc, fail, debris, settings=settings,
+                           dtype=dtype, estimator=estimator)
     n_sub = int(round(sim.time_stp / sim.T_cont))
     n_ticks = int(sim.T_final / sim.time_stp)
     if sim.noise is not None:
@@ -107,6 +111,16 @@ def build_engine(
     Qw[4, 4] = (T * n_sub * sig_x) ** 2
     Qw[5, 5] = (T * n_sub * sim.noise.noise_std[1] if sim.noise else 0.0) ** 2
     base = base.replace(Qw=jnp.asarray(Qw, dtype=dtype))
+    if estimator == "kf":
+        # re-synthesize the steady-state gain against the continuous-sim
+        # process noise that replaced the discrete Qw above
+        from mpc_arpo_project_tpu.ops import kalman
+
+        Co = np.hstack([np.eye(2, 4), np.zeros((2, 2))])
+        L_kf, _ = kalman.steady_state_gain_np(
+            np.asarray(base.Ao, dtype=np.float64), Co,
+            Qw + 1e-9 * np.eye(6), 1e-4 * np.eye(2))
+        base = base.replace(L_kf=jnp.asarray(L_kf, dtype=dtype))
 
     return ContinuousEngine(
         base=base,
@@ -257,7 +271,16 @@ def _tick(engine: ContinuousEngine, carry: _CCarry, tick_in, noise_draws, subste
     # --- measurement + UKF one substep after the tick (`:384-394`), with the
     # previous tick's held control in the predict step (`:390`: ctrls[:, i]
     # is the value applied over the interval that just ended)
-    if base.has_noise:
+    if base.has_noise and base.estimator == "kf":
+        from mpc_arpo_project_tpu.ops import kalman
+
+        xest_next = jax.vmap(
+            lambda xk, uu, zz: kalman.kf_step(
+                xk, uu, zz, base.Ao, base.Bou, base.Co, base.L_kf
+            )
+        )(carry.xest, carry.prev_u, x_after_first[:, :2])
+        P_next = carry.P
+    elif base.has_noise:
         z = jnp.stack(
             [jnp.linalg.norm(x_after_first[:, :2], axis=1),
              jnp.arctan2(x_after_first[:, 1], x_after_first[:, 0])], axis=1,
@@ -322,6 +345,8 @@ def _tick(engine: ContinuousEngine, carry: _CCarry, tick_in, noise_draws, subste
         jnp.where(carry.alive[:, None], ctrl, 0.0),
         jnp.where(carry.alive, code, 0),
         jnp.where(carry.alive, res.status, -1),
+        res.iters,
+        jnp.where(carry.alive, res.done_iters, 0),
         x_sub,
     )
     return new_carry, outs
@@ -373,7 +398,8 @@ def rollout(
     # full-precision matmuls (see rollout.discrete)
     with jax.default_matmul_precision("highest"):
         carry, outs = jax.lax.scan(tick_fn, carry, ticks)
-    x_ticks_s, xest_s, ctrl_s, code_s, status_s, x_sub_s = outs
+    (x_ticks_s, xest_s, ctrl_s, code_s, status_s, iters_s, done_iters_s,
+     x_sub_s) = outs
 
     x_true_ticks = jnp.concatenate([x0b[None], x0b[None], x_ticks_s], axis=0)
     xest0 = jnp.concatenate([x0b, jnp.zeros((B, 2), dtype=dt)], axis=1)
@@ -389,4 +415,6 @@ def rollout(
         status=status_s,
         i_term_sub=carry.i_term_sub,
         success=carry.succ,
+        iters=iters_s,
+        done_iters=done_iters_s,
     )

@@ -80,6 +80,13 @@ class DiscreteEngine:
     ang_tol: jnp.ndarray
     debris_center: jnp.ndarray  # (2,) ORIGINAL (unswapped) center for failsafe test
     debris_half: jnp.ndarray
+    # estimator selection: 'ukf' (production, range/bearing measurement) or
+    # 'kf' (steady-state Kalman filter with linear position measurement — the
+    # `misc/MPCrendezvousKALMANONLY.py:62-89` analogue on the augmented
+    # offset-free observer; cheapest estimator in the family)
+    estimator: str = flax.struct.field(pytree_node=False, default="ukf")
+    Co: Optional[jnp.ndarray] = None  # (2, 6) linear measurement (kf only)
+    L_kf: Optional[jnp.ndarray] = None  # (6, 2) steady-state gain (kf only)
 
 
 class RolloutOut(NamedTuple):
@@ -107,6 +114,7 @@ def build_engine(
     settings: admm.ADMMSettings = admm.ADMMSettings(),
     dtype=jnp.float32,
     synthesis: str = "scipy",
+    estimator: str = "ukf",
 ) -> DiscreteEngine:
     """Host-side engine construction (once per scenario family).
 
@@ -172,6 +180,17 @@ def build_engine(
     Qw[4, 4] = (T * sig[0]) ** 2
     Qw[5, 5] = (T * sig[1]) ** 2
 
+    if estimator == "kf":
+        from mpc_arpo_project_tpu.ops import kalman
+
+        Co = np.hstack([np.eye(2, 4), np.zeros((2, 2))])
+        L_kf, _ = kalman.steady_state_gain_np(
+            Ao, Co, Qw + 1e-9 * np.eye(6), 1e-4 * np.eye(2))
+    elif estimator == "ukf":
+        Co = L_kf = None
+    else:
+        raise ValueError(f"unknown estimator {estimator!r}")
+
     geom = constraints.make_geometry(sim, debris, dtype=dtype)
     if debris is not None:
         d_center = np.asarray(debris.center, dtype=np.float64)
@@ -214,6 +233,9 @@ def build_engine(
         ang_tol=as_dt(sim.suc_cond[1]),
         debris_center=as_dt(d_center),
         debris_half=as_dt(d_half),
+        estimator=estimator,
+        Co=None if Co is None else as_dt(Co),
+        L_kf=None if L_kf is None else as_dt(L_kf),
     )
 
 
@@ -404,7 +426,19 @@ def _step(engine: DiscreteEngine, carry: _Carry, step_in,
     x_next = carry.x_true @ engine.Ad.T + carry.prev_u @ engine.Bd.T + noise_i
 
     # --- estimation (`:329-337`)
-    if engine.has_noise:
+    if engine.has_noise and engine.estimator == "kf":
+        # steady-state KF variant: linear position measurement + fixed gain
+        # (the `misc/MPCrendezvousKALMANONLY.py:74-89` analogue); covariance
+        # is static by construction
+        from mpc_arpo_project_tpu.ops import kalman
+
+        xest_next = jax.vmap(
+            lambda x, uu, zz: kalman.kf_step(
+                x, uu, zz, engine.Ao, engine.Bou, engine.Co, engine.L_kf
+            )
+        )(carry.xest, carry.prev_u, x_next[:, :2])
+        P_next = carry.P
+    elif engine.has_noise:
         z = jnp.stack(
             [
                 jnp.linalg.norm(x_next[:, :2], axis=1),

@@ -225,3 +225,36 @@ def test_continuous_full_approach():
     assert (used == 1).all()
     xt = np.asarray(out.x_true_ticks[:, 0, :2])
     assert np.linalg.norm(xt - np.array([2.5, 0.0]), axis=1).min() < 1.0
+
+
+def test_continuous_solver_telemetry():
+    """ContinuousOut carries per-tick solver-effort telemetry (iters,
+    done_iters) with the same semantics as the discrete RolloutOut
+    (rollout/discrete.py:95-99), and mc.chunk_stats aggregates it — the
+    continuous analogue of the telemetry that drives stall/cap tuning."""
+    from mpc_arpo_project_tpu.parallel import mc
+
+    sim, mpc, fail, debris = _configs(False, False, T_final=10.0)
+    engine = continuous.build_engine(sim, mpc, fail, debris,
+                                     settings=admm.ADMMSettings(max_iter=500),
+                                     dtype=jnp.float64)
+    B = 2
+    draws = continuous.make_noise_draws(engine, jax.random.key(3), B)
+    out = jax.jit(continuous.rollout, static_argnames=("substep_telemetry",))(
+        engine, draws
+    )
+    n_ticks = engine.n_ticks - 1  # ticks run j = 1 .. n_ticks-1
+    assert out.iters.shape == (n_ticks,)
+    assert out.done_iters.shape == (n_ticks, B)
+    iters = np.asarray(out.iters)
+    done = np.asarray(out.done_iters)
+    alive = np.asarray(out.ctrl_seq) > 0
+    # every alive tick ran the solver; per-problem effort is bounded by the
+    # tick's batch iteration count and zero for dead problems
+    assert (iters > 0).all()
+    assert (done[alive] >= 1).all()
+    assert (done <= iters[:, None]).all()
+    assert (done[~alive] == 0).all()
+
+    st = mc.chunk_stats(engine, draws)
+    assert int(np.asarray(st.sum_iters)) == int(iters.sum())
