@@ -114,6 +114,10 @@ def main():
         ns_refresh_drift=float(os.environ.get("BENCH_NS_DRIFT", "0.02")),
         ir_steps=int(os.environ.get("BENCH_IR", "1")),
         pallas_tile=int(os.environ.get("BENCH_TILE", "32")),
+        eig_tail_mult=int(os.environ.get("BENCH_TAIL_MULT", "1")),
+        eig_compact_chunks=tuple(
+            int(v) for v in os.environ.get(
+                "BENCH_COMPACT", "2,4,8,16,24").split(",") if v),
     )
     t0 = time.perf_counter()
     engine = discrete.build_engine(sim, mpc, fail, debris, settings=settings, dtype=jnp.float32)
@@ -143,11 +147,13 @@ def main():
     out.i_term.block_until_ready()
     wall = time.perf_counter() - t0
 
-    # latency-profile run: per-segment device sync (np.asarray is the only
-    # true sync on this backend) -> true p50/p95 over segment walls. Batch
-    # iteration count varies per step, so segment walls ARE the step-latency
-    # distribution at seg-step granularity.
+    # latency-profile run: per-STEP device sync (np.asarray is the only
+    # true sync on this backend) -> true per-step p50/p95, not per-segment
+    # means (VERDICT r2 weak #8). Runs at lat_seg=1 by default; each sync
+    # adds host round-trip overhead, so the distribution is a conservative
+    # upper bound on per-step latency.
     seg_times = []
+    lat_seg = int(os.environ.get("BENCH_LAT_SEG", "1"))
     if not quick:
         ns2 = discrete.make_noise_sequence(engine, jax.random.fold_in(key, 2), B)
         jax.block_until_ready(ns2)
@@ -159,7 +165,7 @@ def main():
             seg_times.append(now - tprev[0])
             tprev[0] = now
 
-        discrete.rollout_chunked(engine, ns2, seg=seg, progress=lat_progress)
+        discrete.rollout_chunked(engine, ns2, seg=lat_seg, progress=lat_progress)
 
     # a batched solve runs every step, but dead scenarios are skipped inside
     # the solver (ops/admm.py: active mask) — only alive steps are solves.
@@ -190,7 +196,7 @@ def main():
     succ = float(np.asarray(out.success.mean()))
     mean_iters = float(np.asarray(out.iters.mean()))
     if seg_times:
-        per_step = np.asarray(seg_times) / seg * 1000.0
+        per_step = np.asarray(seg_times) / lat_seg * 1000.0
         p50 = float(np.percentile(per_step, 50))
         p95 = float(np.percentile(per_step, 95))
     else:
@@ -201,7 +207,8 @@ def main():
     )
     log(f"status mix (fraction of alive steps): {mix}")
     log(
-        f"step latency (batch={B}): p50={p50:.1f}ms p95={p95:.1f}ms "
+        f"step latency (batch={B}, per-{lat_seg}-step sync): "
+        f"p50={p50:.1f}ms p95={p95:.1f}ms "
         f"(real-time budget 500ms/step: {'MET' if p95 <= 500 else 'NOT met'} "
         f"at this batch)"
     )
@@ -222,6 +229,7 @@ def main():
                     "status_mix_alive": mix,
                     "p50_step_ms": round(p50, 2),
                     "p95_step_ms": round(p95, 2),
+                    "latency_sync_every_steps": lat_seg,
                     "batch": B,
                     "solver": {
                         "solve_mode": settings.solve_mode,

@@ -1,7 +1,9 @@
 """Re-animate archived runs (reference `test/animations_results.py`):
-loads ``RunObjs/Run*.pkl`` archives and exports animations.
+loads ``RunObjs/Run*.pkl`` archives and exports animations — GIF by default,
+or the interactive HTML scene (camera follow/rotate/zoom + live strip
+charts, the VPython-parity renderer) with --html.
 
-    python examples/animate_results.py [--glob 'RunObjs/Run*.pkl']
+    python examples/animate_results.py [--glob 'RunObjs/Run*.pkl'] [--html]
 """
 
 import argparse
@@ -15,10 +17,12 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--glob", default="RunObjs/Run*.pkl")
     ap.add_argument("--out-dir", default="RunFigs")
+    ap.add_argument("--html", action="store_true",
+                    help="export the interactive HTML scene instead of a GIF")
     args = ap.parse_args()
 
     from mpc_arpo_project_tpu.utils.archive import load_run
-    from mpc_arpo_project_tpu.viz import animate_trajectory
+    from mpc_arpo_project_tpu.viz import animate_trajectory, export_html
 
     paths = sorted(globmod.glob(args.glob))
     if not paths:
@@ -27,8 +31,12 @@ def main():
     for p in paths:
         sim, run, debris = load_run(p)
         stem = os.path.splitext(os.path.basename(p))[0]
-        out = os.path.join(args.out_dir, f"{stem}.gif")
-        animate_trajectory(sim, run, debris, out_path=out)
+        if args.html:
+            out = export_html(sim, run, debris,
+                              out_path=os.path.join(args.out_dir, f"{stem}.html"))
+        else:
+            out = os.path.join(args.out_dir, f"{stem}.gif")
+            animate_trajectory(sim, run, debris, out_path=out)
         print(f"{p} -> {out}")
 
 

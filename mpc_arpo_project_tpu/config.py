@@ -3,13 +3,29 @@
 These mirror the tunable surface of the reference parameter classes
 (`/root/reference/src/mpcsim.py:13-176`: Noise, SimConditions, SimRun, Debris,
 MPCParams, FailsafeParams) so a user of the reference finds the same knobs, but
-they are plain frozen dataclasses that *compile into* array-only pytrees
-(see ``rollout.engine.build_engine``) — the in-graph representation that can be
-vmapped for parameter sweeps.
+they are plain frozen dataclasses that *compile into* an array-only engine
+pytree (see ``rollout.discrete.build_engine``).
+
+What can vary at which granularity:
+
+* **per-scenario, inside one compiled batch** — initial state
+  (``rollout(x0b=)``), offset-free switch (``rollout(is_reject_b=)``), noise
+  draws and hold lengths (``make_noise_sequence_multi``), and the three
+  dynamic constraint scalars the engine recomputes every step. These are
+  pure array data.
+* **per-engine (one host-side ``build_engine`` each)** — everything that
+  shapes the batch-SHARED matrices: Q/Ru/slack weights and ECR scaling
+  (they set the DARE terminal policy K and hence the constraint-matrix
+  stitching, ``ops/qp_builder.py``), horizons, geometry, orientation,
+  input model. The solver's structured normal-matrix stack
+  (``ops/admm.py``) is shared across the batch by design, so weights canNOT
+  vary per scenario; weight sweeps run as an engine grid — engines with
+  identical shapes reuse one compiled executable, so the grid costs
+  host-side builds (~seconds), not recompiles. See
+  ``examples/mixed_sweep_10k.py``.
 
 Shape-affecting fields (horizons Nx/Nc/Nb, inTrack, isDeltaV, noise presence)
-are static; value fields (x0, weights, sigmas, isReject, ...) become traced
-arrays so whole scenario batches can vary them without recompilation.
+are static and force a recompile when changed.
 """
 
 from __future__ import annotations

@@ -95,6 +95,23 @@ class ADMMSettings(NamedTuple):
     # full basin-entry run — measured ~25 iters on the flagship problem)
     eig_warm_iters: int = 3
     eig_cold_iters: int = 30
+    # 'eig' straggler compaction: at each listed chunk count the batch is
+    # re-sorted WITHIN combo groups so still-running problems pack into the
+    # fewest tiles (pure permutation of independent problems — iterates are
+    # bit-identical, scattered back at the end). Without it stragglers stay
+    # scattered and one active problem per tile keeps every tile computing:
+    # measured (bench flagship, B=1024) ~23% of problems remain past 600
+    # iterations spread over ~all 36 tiles, so the tail runs near-full-batch
+    # cost. () disables.
+    eig_compact_chunks: tuple = (2, 4, 8, 16, 24)
+    # iteration multiplier for chunks after the LAST compaction point: the
+    # straggler tail runs mult*check_every iterations per kernel launch,
+    # amortizing launch + skipped-tile DMA overhead (statuses/telemetry
+    # quantize at the coarser cadence; convergence checks unchanged in kind).
+    # 1 = OSQP-faithful check cadence everywhere (default). Measured (bench
+    # flagship, round 3): mult=4 INCREASES mean iterations 22% (residuals are
+    # non-monotone, so coarser checks miss eps-dips) and loses throughput.
+    eig_tail_mult: int = 1
     # batch-tile width for the fused kernels; 32 measured ~2x faster than 8
     # at B=1024 (wider rows through the MXU weight path), still ~16 MB/tile
     # double-buffered VMEM. _tile_width() halves it until it divides B.
@@ -122,13 +139,17 @@ class ADMMSettings(NamedTuple):
     stall_improve: float = 0.95
     # second-phase stall tightening: after ``stall_tighten_chunks`` chunks a
     # problem must improve a residual by (1 - stall_improve2) per window to
-    # keep running. Measured (bench flagship): solves that DO converge finish
-    # at p50=25 / p99=475 iterations, while stall-exited problems burned
+    # keep running. Measured on the bench flagship config (B=1024,
+    # max_iter=4000, Nx=50, sigma=0.75) with the round-2 'pallas' kernel:
+    # solves that DID converge finished at p50=25 / p99=475 iterations (the
+    # round-2 bench with tightening active reads p99=600-725 — the quantized
+    # post-tighten view of the same tail), while stall-exited problems burned
     # p50=425 / p90=975 iterations producing iterates the failsafe discards —
     # a slow-but-steady 5% drip let them evade the single-phase exit for
     # thousands of iterations. Solves still converging past 1000 iterations
     # are <0.3% of SOLVED, so the tight phase shifts the status mix by well
-    # under a point.
+    # under a point. Percentiles drift with config: requalify before reusing
+    # them to tune other scenarios.
     stall_improve2: float = 0.75
     stall_tighten_chunks: int = 40
     # compact sparse needy sets into a B/div buffer before a Newton-Schulz
@@ -1227,22 +1248,36 @@ def _solve_eig(prob, coeffs, lbar, ubar, state, settings, qbar, active):
             [r[:, None], ss[:, None], jnp.zeros((n_slots, 6), dtype=dt)],
             axis=1)
 
-    sz = ss != 0.0
+    sz0 = ss != 0.0
     # exact refresh gating: no iterative refinement in this mode, so T^{-1}
     # must reflect the CURRENT (combo, r, s) whenever the correction is live
-    need = act & sz & (
+    need = act & sz0 & (
         (ref[:, 0] != c1s) | (ref[:, 1] != c2s) | (ref[:, 2] != ss)
         | (ref[:, 3] != rsc) | ~tv_finite
     )
 
-    def refresh(tv, r, mask):
+    # slot-space per-problem data that compaction permutes along with the
+    # carry (src rides along so the final scatter uses the permuted map)
+    sdata = dict(qb=qb, lb=lb, ub=ub, c1s=c1s, c2s=c2s, ss=ss, lam=lam_s,
+                 src=src)
+
+    def dg_of(sd, r):
+        return 1.0 / (1.0 + r[:, None] * sd["lam"])
+
+    def scal_of(sd, r):
+        return jnp.concatenate(
+            [r[:, None], sd["ss"][:, None], jnp.zeros((n_slots, 6), dtype=dt)],
+            axis=1)
+
+    def refresh(sd, tv, r, mask):
         return admm_eig.tinv_safe_refresh(
-            tile_combo, scal_of(r), dg_of(r), tv, mask, prob.eig_YT,
+            tile_combo, scal_of(sd, r), dg_of(sd, r), tv, mask, prob.eig_YT,
             prob.eig_w33col, warm_iters=settings.eig_warm_iters,
             cold_iters=settings.eig_cold_iters, bt=bt,
             precision=settings.mxu_precision)
 
-    tinv = jax.lax.cond(jnp.any(need), lambda: refresh(tinv, rsc, need),
+    tinv = jax.lax.cond(jnp.any(need),
+                        lambda: refresh(sdata, tinv, rsc, need),
                         lambda: tinv)
     ref = jnp.where(need[:, None],
                     jnp.stack([c1s, c2s, ss, rsc], axis=1), ref)
@@ -1251,100 +1286,128 @@ def _solve_eig(prob, coeffs, lbar, ubar, state, settings, qbar, active):
     n_checks = settings.max_iter // settings.check_every
     adapt_stride = max(1, settings.adaptive_rho_interval // settings.check_every)
 
-    def cond(carry):
-        done, chunk = carry[5], carry[7]
-        return (~jnp.all(done)) & (chunk < n_checks)
+    def make_cond(end, mult):
+        def cond(carry):
+            done, chunk = carry[5], carry[7]
+            return (~jnp.all(done)) & (chunk + mult <= end)
+        return cond
 
-    def body(carry):
-        (x, y, z, rp_prev, rd_prev, done, status, chunk, tinv, rho_scale,
-         ref, best_rp, best_rd, last_prog, done_chunk) = carry
-        done_in = done
-        x_n, y_n, z_n, stats = admm_eig.eig_chunk(
-            tile_combo, tinv, scal_of(rho_scale), qb, lb, ub,
-            dg_of(rho_scale), x, y, z,
-            prob.eig_A, prob.eig_W, prob.eig_YT, prob.Pbar, prob.eig_K1,
-            prob.eig_w33row, gsel_s, scat_s, rsel_s, gscat_s,
-            prob.rho_vec, prob.Einv, prob.Dinv,
-            done=done,
-            n_iter=settings.check_every,
-            sigma=sigma,
-            alpha=float(settings.alpha),
-            eps_pinf=float(settings.eps_pinf),
-            eps_dinf=float(settings.eps_dinf),
-            pinf_margin=float(settings.pinf_support_margin),
-            bt=bt,
-            precision=settings.mxu_precision,
-        )
-        cinv = 1.0 / prob.c
-        rp = jnp.where(done, rp_prev, stats[:, 0])
-        rd = jnp.where(done, rd_prev, cinv * stats[:, 2])
-        rp_rel, rd_rel = stats[:, 1], cinv * stats[:, 3]
-        pinf = stats[:, 4] > 0
-        dinf = stats[:, 5] > 0
-        conv = (rp <= settings.eps_abs + settings.eps_rel * rp_rel) & (
-            rd <= settings.eps_abs + settings.eps_rel * rd_rel
-        )
-        new_status = jnp.where(
-            conv,
-            SOLVED,
-            jnp.where(pinf, PRIMAL_INFEASIBLE,
-                      jnp.where(dinf, DUAL_INFEASIBLE, UNSOLVED)),
-        ).astype(jnp.int32)
-        status = jnp.where(done, status, new_status)
-        newly_done = conv | pinf | dinf
-        keep = done[:, None]
-        x = jnp.where(keep, x, x_n)
-        y = jnp.where(keep, y, y_n)
-        z = jnp.where(keep, z, z_n)
-        done = done | newly_done
+    def make_body(sd, mult):
+        sz = sd["ss"] != 0.0
 
-        if settings.stall_exit_chunks:
-            thr = jnp.where(chunk + 1 >= settings.stall_tighten_chunks,
-                            settings.stall_improve2,
-                            settings.stall_improve)
-            improved = (rp <= thr * best_rp) | (rd <= thr * best_rd)
-            last_prog = jnp.where(done | improved, chunk + 1, last_prog)
-            stalled = (~done) & (
-                chunk + 1 - last_prog >= settings.stall_exit_chunks)
-            status = jnp.where(stalled, MAX_ITER, status)
-            done = done | stalled
-        best_rp = jnp.minimum(best_rp, rp)
-        best_rd = jnp.minimum(best_rd, rd)
-
-        if settings.adaptive_rho:
-            num = rp / jnp.maximum(rp_rel, 1e-10)
-            den = jnp.maximum(rd / jnp.maximum(rd_rel, 1e-10), 1e-10)
-            ratio = jnp.sqrt(num / den)
-            trig = (
-                ((ratio > settings.adaptive_rho_tol)
-                 | (ratio < 1.0 / settings.adaptive_rho_tol))
-                & ~done
-                & ((chunk + 1) % adapt_stride == 0)
+        def body(carry):
+            (x, y, z, rp_prev, rd_prev, done, status, chunk, tinv, rho_scale,
+             ref, best_rp, best_rd, last_prog, done_chunk) = carry
+            done_in = done
+            nc = chunk + mult
+            x_n, y_n, z_n, stats = admm_eig.eig_chunk(
+                tile_combo, tinv, scal_of(sd, rho_scale), sd["qb"], sd["lb"],
+                sd["ub"], dg_of(sd, rho_scale), x, y, z,
+                prob.eig_A, prob.eig_W, prob.eig_YT, prob.Pbar, prob.eig_K1,
+                prob.eig_w33row, gsel_s, scat_s, rsel_s, gscat_s,
+                prob.rho_vec, prob.Einv, prob.Dinv,
+                done=done,
+                n_iter=settings.check_every * mult,
+                sigma=sigma,
+                alpha=float(settings.alpha),
+                eps_pinf=float(settings.eps_pinf),
+                eps_dinf=float(settings.eps_dinf),
+                pinf_margin=float(settings.pinf_support_margin),
+                bt=bt,
+                precision=settings.mxu_precision,
             )
-            new_scale = jnp.where(trig, rho_scale * ratio, rho_scale)
-            new_scale = jnp.clip(
-                new_scale,
-                RHO_MIN / settings.rho_bar,
-                RHO_MAX / (settings.rho_bar * RHO_EQ_SCALE),
+            cinv = 1.0 / prob.c
+            rp = jnp.where(done, rp_prev, stats[:, 0])
+            rd = jnp.where(done, rd_prev, cinv * stats[:, 2])
+            rp_rel, rd_rel = stats[:, 1], cinv * stats[:, 3]
+            pinf = stats[:, 4] > 0
+            dinf = stats[:, 5] > 0
+            conv = (rp <= settings.eps_abs + settings.eps_rel * rp_rel) & (
+                rd <= settings.eps_abs + settings.eps_rel * rd_rel
             )
-            # rho enters the solve exactly through dg; only debris-active
-            # problems carry a (combo, r, s)-dependent inner inverse
-            mask = trig & sz
-            tinv = jax.lax.cond(
-                jnp.any(mask),
-                lambda: refresh(tinv, new_scale, mask),
-                lambda: tinv,
-            )
-            ref = jnp.where(mask[:, None],
-                            jnp.stack([c1s, c2s, ss, new_scale], axis=1), ref)
-            rho_scale = new_scale
+            new_status = jnp.where(
+                conv,
+                SOLVED,
+                jnp.where(pinf, PRIMAL_INFEASIBLE,
+                          jnp.where(dinf, DUAL_INFEASIBLE, UNSOLVED)),
+            ).astype(jnp.int32)
+            status = jnp.where(done, status, new_status)
+            newly_done = conv | pinf | dinf
+            keep = done[:, None]
+            x = jnp.where(keep, x, x_n)
+            y = jnp.where(keep, y, y_n)
+            z = jnp.where(keep, z, z_n)
+            done = done | newly_done
 
-        done_chunk = jnp.where(done & ~done_in, chunk + 1, done_chunk)
-        return (x, y, z, rp, rd, done, status, chunk + 1, tinv,
-                rho_scale, ref, best_rp, best_rd, last_prog, done_chunk)
+            if settings.stall_exit_chunks:
+                thr = jnp.where(nc >= settings.stall_tighten_chunks,
+                                settings.stall_improve2,
+                                settings.stall_improve)
+                improved = (rp <= thr * best_rp) | (rd <= thr * best_rd)
+                last_prog = jnp.where(done | improved, nc, last_prog)
+                stalled = (~done) & (
+                    nc - last_prog >= settings.stall_exit_chunks)
+                status = jnp.where(stalled, MAX_ITER, status)
+                done = done | stalled
+            best_rp = jnp.minimum(best_rp, rp)
+            best_rd = jnp.minimum(best_rd, rd)
+
+            if settings.adaptive_rho:
+                num = rp / jnp.maximum(rp_rel, 1e-10)
+                den = jnp.maximum(rd / jnp.maximum(rd_rel, 1e-10), 1e-10)
+                ratio = jnp.sqrt(num / den)
+                trig = (
+                    ((ratio > settings.adaptive_rho_tol)
+                     | (ratio < 1.0 / settings.adaptive_rho_tol))
+                    & ~done
+                    & (nc % adapt_stride == 0)
+                )
+                new_scale = jnp.where(trig, rho_scale * ratio, rho_scale)
+                new_scale = jnp.clip(
+                    new_scale,
+                    RHO_MIN / settings.rho_bar,
+                    RHO_MAX / (settings.rho_bar * RHO_EQ_SCALE),
+                )
+                # rho enters the solve exactly through dg; only debris-active
+                # problems carry a (combo, r, s)-dependent inner inverse
+                mask = trig & sz
+                tinv = jax.lax.cond(
+                    jnp.any(mask),
+                    lambda: refresh(sd, tinv, new_scale, mask),
+                    lambda: tinv,
+                )
+                ref = jnp.where(
+                    mask[:, None],
+                    jnp.stack([sd["c1s"], sd["c2s"], sd["ss"], new_scale],
+                              axis=1), ref)
+                rho_scale = new_scale
+
+            done_chunk = jnp.where(done & ~done_in, nc, done_chunk)
+            return (x, y, z, rp, rd, done, status, nc, tinv,
+                    rho_scale, ref, best_rp, best_rd, last_prog, done_chunk)
+
+        return body
+
+    slot_pos = jnp.arange(n_slots, dtype=jnp.int32)
+    group_of_slot = (slot_pos[:, None] >= bounds[None, :3]).sum(axis=1)
+
+    def compact(sd, carry):
+        """Pack still-running problems to the front of their combo group
+        (stable in-group sort by done flag): a pure permutation of
+        independent problems, so iterates are unchanged — only which TILE a
+        problem occupies changes, letting the tile-skip machinery drop whole
+        tiles instead of leaving stragglers scattered one-per-tile."""
+        done = carry[5]
+        key = (group_of_slot * (2 * n_slots)
+               + done.astype(jnp.int32) * n_slots + slot_pos)
+        g = jnp.argsort(key)  # new slot i pulls old slot g[i]
+        take = lambda a: a[g]
+        sd = {k: take(v) for k, v in sd.items()}
+        carry = tuple(take(c) if c.ndim >= 1 else c for c in carry)
+        return sd, carry
 
     rp0 = jnp.full((n_slots,), jnp.inf, dtype=dt)
-    carry0 = (
+    carry = (
         x0,
         y0,
         z0,
@@ -1361,11 +1424,33 @@ def _solve_eig(prob, coeffs, lbar, ubar, state, settings, qbar, active):
         jnp.zeros((n_slots,), dtype=jnp.int32),  # last progress chunk
         jnp.zeros((n_slots,), dtype=jnp.int32),  # done_chunk
     )
-    (x, y, z, rp, rd, done, status, chunks, tinv, rho_scale, ref,
-     _, _, _, done_chunk) = jax.lax.while_loop(cond, body, carry0)
 
-    # ---- scatter back to problem order
-    sc = lambda a: a[slot]
+    prev_end = 0
+    for b in settings.eig_compact_chunks:
+        end = min(int(b), n_checks)
+        if end <= prev_end:
+            continue
+        carry = jax.lax.while_loop(make_cond(end, 1), make_body(sdata, 1),
+                                   carry)
+        sdata, carry = compact(sdata, carry)
+        prev_end = end
+    mult = max(1, int(settings.eig_tail_mult))
+    if mult > 1 and prev_end + mult <= n_checks:
+        tail_end = prev_end + ((n_checks - prev_end) // mult) * mult
+        carry = jax.lax.while_loop(make_cond(tail_end, mult),
+                                   make_body(sdata, mult), carry)
+    if prev_end < n_checks:
+        carry = jax.lax.while_loop(make_cond(n_checks, 1),
+                                   make_body(sdata, 1), carry)
+
+    (x, y, z, rp, rd, done, status, chunks, tinv, rho_scale, ref,
+     _, _, _, done_chunk) = carry
+
+    # ---- scatter back to problem order: src (permuted alongside the data)
+    # maps slot -> problem; invert it (dummy slots carry src == B, an
+    # out-of-bounds index that jnp scatters drop)
+    final_slot = jnp.zeros((B,), jnp.int32).at[sdata["src"]].set(slot_pos)
+    sc = lambda a: a[final_slot]
     x, y, z = sc(x), sc(y), sc(z)
     rp, rd = sc(rp), sc(rd)
     status = sc(status)

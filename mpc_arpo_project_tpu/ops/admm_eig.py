@@ -38,6 +38,16 @@ Batch tiles must be combo-pure: the caller sorts the batch by combo into
 bt-padded groups (see ``ops.admm._solve_eig``) and passes a per-tile combo
 index consumed by scalar-prefetch BlockSpec index maps selecting A_c, W_c,
 YT_c.
+
+Negative result (round 3, measured — do not retry without new evidence): the
+round-2 kernel's two-limb bf16 trick does NOT pay here. Limbing the in-loop
+A matvecs moves the ADMM fixed point by ~|A|*2^-17 relative, which the exact
+residual check sees as a ~3e-3 scaled-residual floor above the 1e-3
+tolerance — every solve stalls. Limbing only the solve chain (W/YT/tinv/K1)
+converges but costs ~3x the iterations on fast problems (175 -> 500 on the
+radial fixture): the eig solve's exactness is precisely what eliminated the
+round-2 kernel's iterative-refinement MACs, and re-introducing solve error
+re-buys that cost as iterations while saving only ~24%/iteration.
 """
 
 from __future__ import annotations

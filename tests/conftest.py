@@ -25,3 +25,17 @@ jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import pytest
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Free compiled executables between test modules: with the whole suite
+    in one process, XLA:CPU accumulates ~a hundred large compiled rollout
+    programs and eventually segfaults inside backend_compile_and_load
+    (reproducible at suite-position ~70, never solo). Dropping the jit cache
+    at module boundaries keeps resident-executable count bounded; each
+    module recompiles its own programs anyway."""
+    yield
+    jax.clear_caches()

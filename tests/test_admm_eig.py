@@ -301,3 +301,52 @@ def test_eig_mode_full_rollout_matches_chol():
     mismatch = np.mean(a.ctrl_seq != b.ctrl_seq)
     assert mismatch < 0.15, f"controller-code mismatch fraction {mismatch}"
     np.testing.assert_allclose(a.x_true, b.x_true, atol=3.0)
+
+
+def test_eig_compaction_invariance(setup):
+    """Straggler compaction is a pure permutation of independent problems:
+    solutions, statuses, and per-problem iteration telemetry must be
+    IDENTICAL with compaction disabled, at every boundary choice. Also pins
+    the tail-multiplier semantics: with eig_tail_mult > 1 statuses still
+    match and per-problem done_iters only quantize up (a problem can never
+    finish EARLIER at a coarser check cadence)."""
+    p = setup
+    kw = dict(solve_mode="eig", adaptive_rho=True, max_iter=2000,
+              pallas_tile=4)
+    st_off = admm.ADMMSettings(eig_compact_chunks=(), **kw)
+    st_on = admm.ADMMSettings(eig_compact_chunks=(1, 2, 4, 8), **kw)
+    r_off = admm.admm_solve(p["prob"], p["coeffs"], p["l"], p["u"],
+                            admm.init_state(p["prob"], p["B"], st_off), st_off)
+    r_on = admm.admm_solve(p["prob"], p["coeffs"], p["l"], p["u"],
+                           admm.init_state(p["prob"], p["B"], st_on), st_on)
+    np.testing.assert_array_equal(np.asarray(r_off.status),
+                                  np.asarray(r_on.status))
+    np.testing.assert_array_equal(np.asarray(r_off.done_iters),
+                                  np.asarray(r_on.done_iters))
+    np.testing.assert_allclose(np.asarray(r_off.x), np.asarray(r_on.x),
+                               rtol=0, atol=0)
+    assert int(r_off.iters) == int(r_on.iters)
+
+    # tail-mult quantization semantics are pinned at a FIXED rho trajectory
+    # (adaptive rho re-triggers at the coarser cadence, which legitimately
+    # perturbs marginal problems — that system-level effect is A/B-validated
+    # by the bench status-mix comparison, not unit-pinned here)
+    kw_p = dict(kw, adaptive_rho=False)
+    st_base = admm.ADMMSettings(eig_compact_chunks=(2,), **kw_p)
+    st_tail = admm.ADMMSettings(eig_compact_chunks=(2,), eig_tail_mult=4,
+                                **kw_p)
+    r_base = admm.admm_solve(p["prob"], p["coeffs"], p["l"], p["u"],
+                             admm.init_state(p["prob"], p["B"], st_base),
+                             st_base)
+    r_tail = admm.admm_solve(p["prob"], p["coeffs"], p["l"], p["u"],
+                             admm.init_state(p["prob"], p["B"], st_tail),
+                             st_tail)
+    np.testing.assert_array_equal(np.asarray(r_base.status),
+                                  np.asarray(r_tail.status))
+    di_base = np.asarray(r_base.done_iters)
+    di_tail = np.asarray(r_tail.done_iters)
+    # a problem can never finish EARLIER at a coarser check cadence; it can
+    # finish substantially later (residuals are non-monotone, so a 25-iter
+    # eps-dip can be missed by a 100-iter check) — the throughput tradeoff
+    # is A/B-measured on the bench, not pinned here
+    assert (di_tail >= di_base).all()

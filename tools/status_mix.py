@@ -1,13 +1,29 @@
-"""Status-mix comparison: fp64 oracle vs production fp32 Pallas closed loop.
+"""Status-mix / success-rate comparison between solver arms.
 
 The solver status drives the reference's failsafe switching
 (`/root/reference/src/trajectorySimulate.py:296-314`), so the production
 path's acceptance test is: at IDENTICAL settings and noise draws, does the
-fp32 Pallas closed loop produce the same per-step status mix, controller
-usage, and success rate as the fp64 NumPy oracle (`tools/ref_sim.py`)?
+production closed loop produce the same per-step status mix, controller
+usage, and success rate as the fp64 oracle?
 
-    python tools/status_mix.py --config bench --runs 16          # TPU + oracle
-    python tools/status_mix.py --config ref --runs 16 --skip-oracle
+Arms (``--arm``, repeatable):
+  prod            TPU fp32, production solve mode (--solve-mode, default eig),
+                  production stall settings (--stall/--tighten)
+  prod-pallas     TPU fp32, round-2 Newton-Schulz kernel path
+  oracle          CPU fp64 'chol' (exact batched Cholesky; iterate-for-iterate
+                  pinned against tools/ref_sim + native/osqp_ref.cpp by
+                  tests/test_admm.py + test_rollout.py), SAME stall settings
+                  as prod — isolates fp32/Pallas effects
+  oracle-nostall  CPU fp64 'chol' with stall exit DISABLED at the full
+                  max_iter cap — OSQP-faithful termination semantics
+                  (`trajectorySimulate.py:296-299`): validates the stall
+                  heuristic itself (VERDICT r2 weak #3)
+  refsim          serial NumPy oracle (tools/ref_sim.py) — the branch-for-
+                  branch reference replica; slow, use small --runs
+
+    python tools/status_mix.py --config bench --runs 128 --arm prod --arm oracle
+    python tools/status_mix.py --config ref --runs 16 --arm refsim
+    python tools/status_mix.py --sigma 0.01 --runs 128 --arm prod --arm oracle
 
 Writes a JSON summary to --out (default /tmp/status_mix.json).
 """
@@ -32,7 +48,7 @@ ORACLE_TO_CODE = {
 }
 
 
-def build_configs(which: str):
+def build_configs(which: str, sigma: float = None):
     from mpc_arpo_project_tpu.config import (
         SimConditions, MPCParams, FailsafeParams, Noise, Debris,
     )
@@ -41,9 +57,11 @@ def build_configs(which: str):
     v_ecr[-2] *= -1
     v_ecr[-1] = 0.0
     if which == "bench":
-        Nx, sigma, T_final = 50, 0.75, 150.0
+        Nx, sig_d, T_final = 50, 0.75, 150.0
     else:  # reference success-rate study config (success_rates_test.py:13-15,57)
-        Nx, sigma, T_final = 40, 0.3, 300.0
+        Nx, sig_d, T_final = 40, 0.3, 300.0
+    if sigma is not None:
+        sig_d = sigma
     mpc = MPCParams(
         8e2 * np.diag([0.2**2, 10**2, 3.8**2, 900.0]),
         1000**2 * np.eye(2),
@@ -69,124 +87,184 @@ def build_configs(which: str):
         0.5,
         True,
         (0.2, 45.0),
-        Noise((sigma, sigma), 50),
+        Noise((sig_d, sig_d), 50),
         False,
         T_final=T_final,
     )
     return sim, mpc, fail, debris
 
 
-def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--config", choices=["bench", "ref"], default="bench")
-    ap.add_argument("--runs", type=int, default=16)
-    ap.add_argument("--max-iter", type=int, default=4000)
-    ap.add_argument("--stall", type=int, default=12)
-    ap.add_argument("--skip-oracle", action="store_true")
-    ap.add_argument("--skip-prod", action="store_true")
-    ap.add_argument("--cpu", action="store_true", help="prod arm on CPU fp64 chol")
-    ap.add_argument("--out", default="/tmp/status_mix.json")
-    args = ap.parse_args()
-
+def run_rollout_arm(name, sim, mpc, fail, debris, draws, *, solve_mode,
+                    dtype_str, max_iter, stall, tighten, tile, seg=10):
+    """One batched-rollout arm; fp64 arms force the CPU backend in a
+    subprocess-free way only when the whole process is CPU — callers split
+    fp32/TPU and fp64/CPU arms across invocations (see __main__)."""
     import jax
-
-    if args.cpu:
-        jax.config.update("jax_platforms", "cpu")
-        jax.config.update("jax_enable_x64", True)
-    cache = os.environ.get("JAX_CACHE_DIR", "/tmp/jax_cache")
-    os.makedirs(cache, exist_ok=True)
-    jax.config.update("jax_compilation_cache_dir", cache)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
 
     from mpc_arpo_project_tpu.ops import admm
     from mpc_arpo_project_tpu.rollout import discrete
 
-    sim, mpc, fail, debris = build_configs(args.config)
+    settings = admm.ADMMSettings(
+        max_iter=max_iter,
+        solve_mode=solve_mode,
+        stall_exit_chunks=stall,
+        stall_tighten_chunks=tighten,
+        pallas_tile=tile,
+    )
+    dtype = jnp.float64 if dtype_str == "f64" else jnp.float32
+    t0 = time.time()
+    engine = discrete.build_engine(sim, mpc, fail, debris,
+                                   settings=settings, dtype=dtype)
+    noise_seq = discrete.noise_sequence_from_draws(engine, draws)
+    out = discrete.rollout_chunked(engine, noise_seq, seg=seg)
+    st = np.asarray(out.status)  # (T, B), -1 for dead
+    codes = {k: int((st == k).sum()) for k in STATUS_NAME}
+    alive = int((st >= 0).sum())
+    return {
+        "arm": name,
+        "solve_mode": solve_mode,
+        "dtype": dtype_str,
+        "stall": stall,
+        "backend": jax.devices()[0].platform,
+        "wall_s": round(time.time() - t0, 1),
+        "alive_steps": alive,
+        "mix": {STATUS_NAME[k]: round(v / max(alive, 1), 4)
+                for k, v in codes.items()},
+        "counts": {STATUS_NAME[k]: v for k, v in codes.items()},
+        "success_rate": float(np.asarray(out.success).mean()),
+        "n_success": int(np.asarray(out.success).sum()),
+        "mean_i_term": float(np.asarray(out.i_term).mean()),
+        "ctrl_usage": {
+            "mpc": int((np.asarray(out.ctrl_seq) == 1).sum()),
+            "failsafe": int((np.asarray(out.ctrl_seq) == 2).sum()),
+            "deadbeat": int((np.asarray(out.ctrl_seq) == 3).sum()),
+        },
+    }
+
+
+def run_refsim_arm(sim, mpc, fail, debris, draws, *, max_iter, stall):
+    from tools import ref_sim
+
+    B = draws.shape[1]
+    counts = collections.Counter()
+    succ = 0
+    i_terms = []
+    ctrl_counts = collections.Counter()
+    t0 = time.time()
+    for b in range(B):
+        run = ref_sim.simulate_discrete(
+            sim, mpc, fail, debris, noise_draws=draws[:, b],
+            solver_kwargs=dict(max_iter=max_iter, stall_exit_chunks=stall),
+        )
+        counts.update(run.statuses)
+        succ += bool(run.success)
+        i_terms.append(run.i_term)
+        ctrl_counts.update(run.ctrl_seq.astype(int).tolist())
+        print(f"  refsim {b + 1}/{B}: i_term={run.i_term} "
+              f"success={run.success} "
+              f"statuses={dict(collections.Counter(run.statuses))}",
+              flush=True)
+    alive_o = sum(counts.values())
+    return {
+        "arm": "refsim",
+        "solve_mode": "numpy",
+        "dtype": "f64",
+        "stall": stall,
+        "wall_s": round(time.time() - t0, 1),
+        "alive_steps": alive_o,
+        "mix": {STATUS_NAME[ORACLE_TO_CODE[k]]: round(v / alive_o, 4)
+                for k, v in counts.items()},
+        "counts": {STATUS_NAME[ORACLE_TO_CODE[k]]: v
+                   for k, v in counts.items()},
+        "success_rate": succ / B,
+        "n_success": succ,
+        "mean_i_term": float(np.mean(i_terms)),
+        "ctrl_usage": {"mpc": ctrl_counts.get(1, 0),
+                       "failsafe": ctrl_counts.get(2, 0),
+                       "deadbeat": ctrl_counts.get(3, 0)},
+    }
+
+
+ARMS = ("prod", "prod-pallas", "oracle", "oracle-nostall", "refsim")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--config", choices=["bench", "ref"], default="bench")
+    ap.add_argument("--sigma", type=float, default=None,
+                    help="override the config's noise std (both axes)")
+    ap.add_argument("--runs", type=int, default=128)
+    ap.add_argument("--max-iter", type=int, default=4000)
+    ap.add_argument("--stall", type=int, default=12)
+    ap.add_argument("--tighten", type=int, default=24)
+    ap.add_argument("--solve-mode", default="eig", choices=("eig", "pallas"))
+    ap.add_argument("--tile", type=int, default=32)
+    ap.add_argument("--seg", type=int, default=10)
+    ap.add_argument("--arm", action="append", choices=ARMS, default=None,
+                    help="repeatable; default: prod + oracle")
+    ap.add_argument("--seed", type=int, default=20260818)
+    ap.add_argument("--out", default="/tmp/status_mix.json")
+    args = ap.parse_args()
+    arms = args.arm or ["prod", "oracle"]
+
+    import jax
+
+    # fp64 oracle arms need the CPU backend + x64; fp32 prod arms need the
+    # TPU. jax backends are process-global, so a mixed-arm invocation forces
+    # CPU only if no TPU arm was requested.
+    tpu_arms = {"prod", "prod-pallas"} & set(arms)
+    if not tpu_arms:
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_enable_x64", True)
+    elif {"oracle", "oracle-nostall"} & set(arms):
+        raise SystemExit(
+            "fp64 oracle arms need the CPU backend; run them in a separate "
+            "invocation from the TPU prod arms (same --seed gives identical "
+            "draws)")
+    cache = os.environ.get("JAX_CACHE_DIR", "/tmp/jax_cache")
+    os.makedirs(cache, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    sim, mpc, fail, debris = build_configs(args.config, args.sigma)
     B = args.runs
     nsim = sim.nsim
     noise_rep = int(sim.noise.noise_length)
     n_draws = nsim // noise_rep + 2
-    rng = np.random.RandomState(20260818)
+    rng = np.random.RandomState(args.seed)
     draws = rng.normal(0.0, 1.0, size=(n_draws, B, 4))
 
-    summary = {"config": args.config, "runs": B, "nsim": nsim,
-               "max_iter": args.max_iter, "stall": args.stall}
+    summary = {"config": args.config, "sigma": args.sigma, "runs": B,
+               "nsim": nsim, "max_iter": args.max_iter, "seed": args.seed,
+               "arms": {}}
 
-    # ---- production arm: fp32 Pallas (or --cpu fp64 chol) rollout
-    if not args.skip_prod:
-        settings = admm.ADMMSettings(
-            max_iter=args.max_iter,
-            solve_mode="chol" if args.cpu else "pallas",
-            stall_exit_chunks=args.stall,
-        )
-        dtype = jnp.float64 if args.cpu else jnp.float32
-        t0 = time.time()
-        engine = discrete.build_engine(sim, mpc, fail, debris,
-                                       settings=settings, dtype=dtype)
-        noise_seq = discrete.noise_sequence_from_draws(engine, draws)
-        out = discrete.rollout_chunked(engine, noise_seq, seg=10)
-        st = np.asarray(out.status)  # (T, B), -1 for dead
-        codes = {k: int((st == k).sum()) for k in STATUS_NAME}
-        alive = int((st >= 0).sum())
-        prod = {
-            "arm": "chol_fp64_cpu" if args.cpu else "pallas_fp32",
-            "wall_s": round(time.time() - t0, 1),
-            "alive_steps": alive,
-            "mix": {STATUS_NAME[k]: round(v / max(alive, 1), 4)
-                    for k, v in codes.items()},
-            "counts": {STATUS_NAME[k]: v for k, v in codes.items()},
-            "success_rate": float(np.asarray(out.success).mean()),
-            "mean_i_term": float(np.asarray(out.i_term).mean()),
-            "ctrl_usage": {
-                "mpc": int((np.asarray(out.ctrl_seq) == 1).sum()),
-                "failsafe": int((np.asarray(out.ctrl_seq) == 2).sum()),
-                "deadbeat": int((np.asarray(out.ctrl_seq) == 3).sum()),
-            },
-        }
-        summary["prod"] = prod
-        print(json.dumps(prod, indent=1), flush=True)
-
-    # ---- oracle arm: serial fp64 NumPy replica at identical settings/noise
-    if not args.skip_oracle:
-        from tools import ref_sim
-
-        counts = collections.Counter()
-        succ = 0
-        i_terms = []
-        ctrl_counts = collections.Counter()
-        t0 = time.time()
-        for b in range(B):
-            run = ref_sim.simulate_discrete(
-                sim, mpc, fail, debris, noise_draws=draws[:, b],
-                solver_kwargs=dict(max_iter=args.max_iter,
-                                   stall_exit_chunks=args.stall),
-            )
-            counts.update(run.statuses)
-            succ += bool(run.success)
-            i_terms.append(run.i_term)
-            ctrl_counts.update(run.ctrl_seq.astype(int).tolist())
-            print(f"  oracle {b + 1}/{B}: i_term={run.i_term} "
-                  f"success={run.success} "
-                  f"statuses={dict(collections.Counter(run.statuses))}",
-                  flush=True)
-        alive_o = sum(counts.values())
-        oracle = {
-            "arm": "oracle_fp64_numpy",
-            "wall_s": round(time.time() - t0, 1),
-            "alive_steps": alive_o,
-            "mix": {STATUS_NAME[ORACLE_TO_CODE[k]]: round(v / alive_o, 4)
-                    for k, v in counts.items()},
-            "counts": {STATUS_NAME[ORACLE_TO_CODE[k]]: v
-                       for k, v in counts.items()},
-            "success_rate": succ / B,
-            "mean_i_term": float(np.mean(i_terms)),
-            "ctrl_usage": {"mpc": ctrl_counts.get(1, 0),
-                           "failsafe": ctrl_counts.get(2, 0),
-                           "deadbeat": ctrl_counts.get(3, 0)},
-        }
-        summary["oracle"] = oracle
-        print(json.dumps(oracle, indent=1), flush=True)
+    for arm in arms:
+        if arm == "refsim":
+            r = run_refsim_arm(sim, mpc, fail, debris, draws,
+                               max_iter=args.max_iter, stall=args.stall)
+        elif arm == "prod":
+            r = run_rollout_arm(
+                arm, sim, mpc, fail, debris, draws, solve_mode=args.solve_mode,
+                dtype_str="f32", max_iter=args.max_iter, stall=args.stall,
+                tighten=args.tighten, tile=args.tile, seg=args.seg)
+        elif arm == "prod-pallas":
+            r = run_rollout_arm(
+                arm, sim, mpc, fail, debris, draws, solve_mode="pallas",
+                dtype_str="f32", max_iter=args.max_iter, stall=args.stall,
+                tighten=args.tighten, tile=args.tile, seg=args.seg)
+        elif arm == "oracle":
+            r = run_rollout_arm(
+                arm, sim, mpc, fail, debris, draws, solve_mode="chol",
+                dtype_str="f64", max_iter=args.max_iter, stall=args.stall,
+                tighten=args.tighten, tile=args.tile, seg=args.seg)
+        elif arm == "oracle-nostall":
+            r = run_rollout_arm(
+                arm, sim, mpc, fail, debris, draws, solve_mode="chol",
+                dtype_str="f64", max_iter=args.max_iter, stall=0,
+                tighten=10**6, tile=args.tile, seg=args.seg)
+        summary["arms"][arm] = r
+        print(json.dumps(r, indent=1), flush=True)
 
     with open(args.out, "w") as fh:
         json.dump(summary, fh, indent=1)
