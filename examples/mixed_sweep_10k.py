@@ -113,10 +113,15 @@ def main():
         xf = jnp.take_along_axis(
             out.x_true, idx[None, :, None].astype(jnp.int32), axis=0)[0]
         fd = jnp.linalg.norm(xf - engine.xr[None, :], axis=1)
+        # scenarios can genuinely diverge (fp32 overflow under sustained
+        # failsafe on infeasible geometry) — count them, keep means finite
+        div = ~jnp.isfinite(fd)
+        fd = jnp.where(div, 0.0, fd)
         st = out.status
         alive = out.ctrl_seq > 0
         return dict(
             n_success=out.success.sum(),
+            n_diverged=div.sum(),
             sum_final_dist=fd.sum(),
             sum_i_term=out.i_term.sum(),
             alive_steps=alive.sum(),
@@ -174,9 +179,11 @@ def main():
         rows.append((orient, w, r))
         for k, v in r.items():
             totals[k] = totals.get(k, 0.0) + v
+        nok = B - int(r["n_diverged"])
         print(f"  [{gi + 1}/{len(grid)}] {orient:8s} Ru*{w:<5g} "
               f"success={int(r['n_success'])}/{B} "
-              f"mean_fd={r['sum_final_dist'] / B:7.2f} m "
+              f"mean_fd={r['sum_final_dist'] / max(nok, 1):7.2f} m "
+              f"diverged={int(r['n_diverged'])} "
               f"solved={int(r['n_solved'])} maxiter={int(r['n_maxiter'])} "
               f"pinf={int(r['n_pinf'])}", flush=True)
 
@@ -186,9 +193,11 @@ def main():
     print(f"\n{n:,} mixed scenarios in {wall:.1f}s "
           f"({build_s:.1f}s of that engine builds) -> {n / wall:.1f} sims/s, "
           f"{steps / wall:,.0f} alive control steps/s")
+    ndiv = int(totals["n_diverged"])
     print(f"aggregate: success {int(totals['n_success'])}/{n}, "
-          f"mean final dist {totals['sum_final_dist'] / n:.2f} m, "
-          f"mean i_term {totals['sum_i_term'] / n:.0f}")
+          f"diverged {ndiv}, "
+          f"mean final dist {totals['sum_final_dist'] / max(n - ndiv, 1):.2f} m"
+          f" (over non-diverged), mean i_term {totals['sum_i_term'] / n:.0f}")
 
 
 if __name__ == "__main__":

@@ -62,6 +62,11 @@ def build_configs(which: str, sigma: float = None):
         Nx, sig_d, T_final = 40, 0.3, 300.0
     if sigma is not None:
         sig_d = sigma
+    # sigma == 0 means NOISELESS (no estimator): a Noise object with zero std
+    # leaves the UKF running with zero disturbance process noise, whose
+    # singular covariance breaks the fp32 sigma-point Cholesky — the
+    # reference's noiseless runs likewise bypass estimation
+    noise = Noise((sig_d, sig_d), 50) if sig_d > 0 else None
     mpc = MPCParams(
         8e2 * np.diag([0.2**2, 10**2, 3.8**2, 900.0]),
         1000**2 * np.eye(2),
@@ -87,7 +92,7 @@ def build_configs(which: str, sigma: float = None):
         0.5,
         True,
         (0.2, 45.0),
-        Noise((sig_d, sig_d), 50),
+        noise,
         False,
         T_final=T_final,
     )
@@ -230,7 +235,7 @@ def main():
     sim, mpc, fail, debris = build_configs(args.config, args.sigma)
     B = args.runs
     nsim = sim.nsim
-    noise_rep = int(sim.noise.noise_length)
+    noise_rep = int(sim.noise.noise_length) if sim.noise is not None else 50
     n_draws = nsim // noise_rep + 2
     rng = np.random.RandomState(args.seed)
     draws = rng.normal(0.0, 1.0, size=(n_draws, B, 4))
