@@ -270,9 +270,12 @@ def main():
                 tighten=10**6, tile=args.tile, seg=args.seg)
         summary["arms"][arm] = r
         print(json.dumps(r, indent=1), flush=True)
+        # write INCREMENTALLY: a multi-arm invocation can take hours (the
+        # fp64 no-stall oracle runs plateaued QPs to the full cap) and a
+        # killed process must not lose completed arms
+        with open(args.out, "w") as fh:
+            json.dump(summary, fh, indent=1)
 
-    with open(args.out, "w") as fh:
-        json.dump(summary, fh, indent=1)
     print(f"wrote {args.out}")
 
 
