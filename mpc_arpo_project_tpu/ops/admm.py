@@ -1196,7 +1196,15 @@ def _solve_eig(prob, coeffs, lbar, ubar, state, settings, qbar, active):
     rsel_s = prob.rsel[:, 2 * gw:]
     gscat_s = prob.gscat[2 * gw:]
 
-    # ---- group-pure slot assignment (padded to tile multiples)
+    # ---- group-pure slot assignment (padded to tile multiples), packing
+    # ALIVE problems first within each combo group: dead scenarios
+    # (terminated rollouts — ~half of all steps in the flagship bench) start
+    # done=True, and tile skipping is all-or-nothing per tile, so leaving
+    # them interleaved keeps every tile active during the pre-compaction
+    # chunks no matter how few problems are actually alive. Alive-first
+    # order makes early-chunk cost scale with the alive count instead.
+    # A pure permutation: per-problem kernel math is row-independent, so
+    # results are bit-identical regardless of slot placement.
     n_slots = B + 4 * bt
     oh = (combo[:, None] == jnp.arange(4, dtype=jnp.int32)[None, :]).astype(
         jnp.int32)
@@ -1204,9 +1212,14 @@ def _solve_eig(prob, coeffs, lbar, ubar, state, settings, qbar, active):
     padded = ((counts + bt - 1) // bt) * bt
     bounds = jnp.cumsum(padded)
     goff = bounds - padded
-    rank = jnp.take_along_axis(jnp.cumsum(oh, axis=0) - oh, combo[:, None],
-                               axis=1)[:, 0]
-    slot = goff[combo] + rank  # (B,) unique slots
+    cstart = jnp.cumsum(counts) - counts
+    key = (combo * (2 * B) + (~active).astype(jnp.int32) * B
+           + jnp.arange(B, dtype=jnp.int32))
+    perm = jnp.argsort(key)  # combo-major, alive-first, batch-order stable
+    combo_sorted = combo[perm]
+    slot = jnp.zeros((B,), jnp.int32).at[perm].set(
+        goff[combo_sorted] + jnp.arange(B, dtype=jnp.int32)
+        - cstart[combo_sorted])  # (B,) unique slots
     src = jnp.full((n_slots,), B, jnp.int32).at[slot].set(
         jnp.arange(B, dtype=jnp.int32))
     dummy = src >= B

@@ -350,3 +350,32 @@ def test_eig_compaction_invariance(setup):
     # eps-dip can be missed by a 100-iter check) — the throughput tradeoff
     # is A/B-measured on the bench, not pinned here
     assert (di_tail >= di_base).all()
+
+
+def test_eig_active_packing_invariance(setup):
+    """Alive-first slot packing (ops/admm.py _solve_eig): with a partially
+    dead batch, active problems must produce results BIT-IDENTICAL to the
+    all-active solve (packing is a pure permutation; per-problem kernel math
+    is row-independent), and inactive problems must stay frozen with status
+    UNSOLVED — across all four combo groups and debris-active rows."""
+    p = setup
+    st = admm.ADMMSettings(solve_mode="eig", pallas_tile=4, max_iter=2000,
+                           adaptive_rho=True)
+    st0 = admm.init_state(p["prob"], p["B"], st)
+    # kill rows in every combo group, including a debris-active one
+    active = jnp.array([True, False, True, True, False, True, False, True])
+    r_mask = admm.admm_solve(p["prob"], p["coeffs"], p["l"], p["u"], st0, st,
+                             active=active)
+    r_full = admm.admm_solve(p["prob"], p["coeffs"], p["l"], p["u"], st0, st)
+    act = np.asarray(active)
+    np.testing.assert_array_equal(np.asarray(r_mask.x)[act],
+                                  np.asarray(r_full.x)[act])
+    np.testing.assert_array_equal(np.asarray(r_mask.status)[act],
+                                  np.asarray(r_full.status)[act])
+    np.testing.assert_array_equal(np.asarray(r_mask.done_iters)[act],
+                                  np.asarray(r_full.done_iters)[act])
+    assert (np.asarray(r_mask.status)[~act] == admm.UNSOLVED).all()
+    np.testing.assert_array_equal(np.asarray(r_mask.state.xbar)[~act],
+                                  np.asarray(st0.xbar)[~act])
+    np.testing.assert_array_equal(np.asarray(r_mask.state.ybar)[~act],
+                                  np.asarray(st0.ybar)[~act])

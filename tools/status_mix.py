@@ -126,6 +126,20 @@ def run_rollout_arm(name, sim, mpc, fail, debris, draws, *, solve_mode,
     st = np.asarray(out.status)  # (T, B), -1 for dead
     codes = {k: int((st == k).sum()) for k in STATUS_NAME}
     alive = int((st >= 0).sum())
+    # MAX_ITER fraction by time decile of each scenario's own lifetime:
+    # distinguishes warm-start DRIFT (failures cluster late) from a uniform
+    # fp32 residual floor (flat profile) — the two round-3 candidate causes
+    # of the sigma=0.01 success gap (BASELINE.md round-3 success curve)
+    T, B = st.shape
+    i_term = np.asarray(out.i_term)  # (B,)
+    tt = np.arange(T)[:, None]
+    life = np.maximum(i_term[None, :], 1)
+    dec = np.minimum(10 * tt // life, 9)  # (T, B) decile index
+    mi_by_dec = []
+    for d in range(10):
+        sel = st[(dec == d) & (st >= 0)]
+        mi_by_dec.append(
+            round(float((sel == 2).mean()), 4) if sel.size else None)
     return {
         "arm": name,
         "solve_mode": solve_mode,
@@ -136,6 +150,7 @@ def run_rollout_arm(name, sim, mpc, fail, debris, draws, *, solve_mode,
         "alive_steps": alive,
         "mix": {STATUS_NAME[k]: round(v / max(alive, 1), 4)
                 for k, v in codes.items()},
+        "max_iter_frac_by_lifetime_decile": mi_by_dec,
         "counts": {STATUS_NAME[k]: v for k, v in codes.items()},
         "success_rate": float(np.asarray(out.success).mean()),
         "n_success": int(np.asarray(out.success).sum()),
@@ -209,6 +224,14 @@ def main():
     ap.add_argument("--arm", action="append", choices=ARMS, default=None,
                     help="repeatable; default: prod + oracle")
     ap.add_argument("--seed", type=int, default=20260818)
+    ap.add_argument("--shard", default=None,
+                    help="'i/N': run only scenario columns [i*runs/N, (i+1)*"
+                         "runs/N) of the full --runs draw matrix. Draws are "
+                         "generated at full width first, so shard results are "
+                         "bit-identical slices of the unsharded run; counts/"
+                         "successes sum across shards (tools/merge_shards.py). "
+                         "Lets multi-hour fp64 oracle arms land durable "
+                         "partial progress on a 2-core host.")
     ap.add_argument("--out", default="/tmp/status_mix.json")
     args = ap.parse_args()
     arms = args.arm or ["prod", "oracle"]
@@ -239,10 +262,17 @@ def main():
     n_draws = nsim // noise_rep + 2
     rng = np.random.RandomState(args.seed)
     draws = rng.normal(0.0, 1.0, size=(n_draws, B, 4))
+    shard = None
+    if args.shard:
+        i, n = (int(v) for v in args.shard.split("/"))
+        lo, hi = i * B // n, (i + 1) * B // n
+        draws = draws[:, lo:hi]
+        shard = {"index": i, "of": n, "lo": lo, "hi": hi}
+        print(f"shard {i}/{n}: scenarios [{lo}, {hi}) of {B}", flush=True)
 
     summary = {"config": args.config, "sigma": args.sigma, "runs": B,
                "nsim": nsim, "max_iter": args.max_iter, "seed": args.seed,
-               "arms": {}}
+               "shard": shard, "arms": {}}
 
     for arm in arms:
         if arm == "refsim":
