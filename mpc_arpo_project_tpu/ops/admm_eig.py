@@ -388,123 +388,60 @@ def eig_chunk(
 # Woodbury inner-inverse refresh: T = I + C(r,s) G,  G = Y' diag(dg) Y
 # ---------------------------------------------------------------------------
 
-def _tinv_refresh_kernel(
-    combo_ref,  # scalar-prefetch per-tile combo
-    scal_ref,  # (BT, 8) [r, s]
-    dg_ref,  # (BT, nz)
-    x_ref,  # (BT, K, K) previous inverse
-    need_ref,  # (BT, 8) f32 mask
-    yt_ref,  # (1, K, nz)
-    w33c_ref,  # (K, K) w33 broadcast along lanes (column form)
-    xo_ref,  # (BT, K, K)
-    res_ref,  # (BT, 8)
-    *,
-    n_iter: int,
-    K: int,
-    bt: int,
-    cold: bool,
-    prec,
-):
-    f32 = x_ref.dtype
-    need_any = jnp.max(need_ref[:, :]) > 0.5
-    half = K // 2
-
-    @pl.when(need_any)
-    def _compute():
-        YT = yt_ref[0]  # (K, nz)
-        I = jnp.eye(K, dtype=f32)
-        I2 = 2.0 * I
-        resids = []
-        for p in range(bt):
-            nd = need_ref[p, 0]
-            # build T_p = I + r*s*(K1 @ G) + r*s^2*(D33 @ G)
-            #   G = Y' diag(dg) Y = (YT * dg_row) @ YT'
-            #   K1 @ G = block-row swap; D33 @ G = w33-column scaling
-            rs = scal_ref[p, 0] * scal_ref[p, 1]
-            rss = rs * scal_ref[p, 1]
-            YTd = YT * dg_ref[p][None, :]
-            G = jnp.dot(YTd, YT.T, preferred_element_type=f32, precision=prec)
-            Gsw = jnp.concatenate([G[half:], G[:half]], axis=0)
-            T = I + rs * Gsw + rss * (w33c_ref[:, :] * G)
-
-            if cold:
-                n1 = jnp.max(jnp.sum(jnp.abs(T), axis=0))
-                ninf = jnp.max(jnp.sum(jnp.abs(T), axis=1))
-                X = T.T / (n1 * ninf)
-            else:
-                X = x_ref[p]
-
-            def body(_, Xc):
-                TX = jnp.dot(T, Xc, preferred_element_type=f32, precision=prec)
-                return jnp.dot(Xc, I2 - TX, preferred_element_type=f32,
-                               precision=prec)
-
-            Xf = jax.lax.fori_loop(0, n_iter, body, X)
-            xo_ref[p] = nd * Xf + (1.0 - nd) * x_ref[p]
-            TX = jnp.dot(T, Xf, preferred_element_type=f32, precision=prec)
-            rres = (nd * jnp.max(jnp.abs(I - TX))).reshape(1, 1)
-            resids.append(jnp.concatenate([rres] * 8, axis=1))
-        res_ref[:, :] = jnp.concatenate(resids, axis=0)
-
-    @pl.when(jnp.logical_not(need_any))
-    def _passthrough():
-        xo_ref[:, :, :] = x_ref[:, :, :]
-        res_ref[:, :] = jnp.zeros((bt, 8), dtype=f32)
-
-
 def tinv_refresh(tile_combo, scal, dg, X_prev, need, YTst, w33col,
                  *, n_iter: int, cold: bool, bt: int = 32,
                  precision: str = "highest", interpret=None):
     """Masked per-problem refresh of T^{-1}; rows with need=False pass
-    through (residual reads 0). Tiles must be combo-pure (see eig_chunk)."""
-    if interpret is None:
-        interpret = _interpret_default()
+    through (residual reads 0). Tiles must be combo-pure (see eig_chunk).
+
+    Plain batched XLA, NOT a Pallas kernel — a measured round-3 reversal.
+    The original Pallas refresh (statically unrolled per-problem loop of
+    (K,K) matmuls, one tile per grid step) ran ~100x off the MXU ceiling:
+    with every problem needy (the common mid-trajectory case — the debris
+    slope s drifts continuously, so every debris-active problem refreshes
+    at EVERY control step), it cost ~70 ms/step at B=1024 — ~45% of total
+    step time by the BENCH_MAX_ITER cap decomposition (BASELINE.md). The
+    refresh runs once per solve, not per iteration, so per-op dispatch
+    overhead is irrelevant and XLA's batched (B,K,K) matmuls put the same
+    math at a few ms. Pallas stays where it pays: the per-iteration fused
+    chunk kernel above."""
+    del interpret  # accepted for call-site compatibility; XLA everywhere
     B, K = X_prev.shape[:2]
-    nz = dg.shape[1]
+    dt = X_prev.dtype
     assert B % bt == 0, (B, bt)
-    need8 = jnp.broadcast_to(need.astype(X_prev.dtype)[:, None], (B, 8))
+    half = K // 2
     prec = {
         "highest": jax.lax.Precision.HIGHEST,
         "high": jax.lax.Precision.HIGH,
         "default": jax.lax.Precision.DEFAULT,
     }[precision]
-    kern = functools.partial(_tinv_refresh_kernel, n_iter=n_iter, K=K, bt=bt,
-                             cold=cold, prec=prec)
-    tile = lambda *shape: pl.BlockSpec(
-        shape, lambda i, c: (i,) + (0,) * (len(shape) - 1),
-        memory_space=pltpu.VMEM)
-    combo = lambda *shape: pl.BlockSpec(
-        shape, lambda i, c: (c[i],) + (0,) * (len(shape) - 1),
-        memory_space=pltpu.VMEM)
-    shared = lambda *shape: pl.BlockSpec(
-        shape, lambda i, c: (0,) * len(shape), memory_space=pltpu.VMEM)
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(B // bt,),
-        in_specs=[
-            tile(bt, 8),  # scal
-            tile(bt, nz),  # dg
-            tile(bt, K, K),  # X_prev
-            tile(bt, 8),  # need
-            combo(1, K, nz),  # YTc
-            shared(K, K),  # w33col
-        ],
-        out_specs=(
-            tile(bt, K, K),
-            tile(bt, 8),
-        ),
-    )
-    X, res = pl.pallas_call(
-        kern,
-        grid_spec=grid_spec,
-        out_shape=(
-            jax.ShapeDtypeStruct((B, K, K), X_prev.dtype),
-            jax.ShapeDtypeStruct((B, 8), X_prev.dtype),
-        ),
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
-        interpret=interpret,
-    )(tile_combo, scal, dg, X_prev, need8, YTst, w33col)
-    return X, res[:, 0]
+    mm = functools.partial(jnp.matmul, precision=prec,
+                           preferred_element_type=dt)
+    combo_slot = jnp.repeat(tile_combo, bt, total_repeat_length=B)
+    YTg = YTst[combo_slot]  # (B, K, nz)
+    # T_b = I + r*s*(K1 @ G_b) + r*s^2*(D33 @ G_b)
+    #   G_b = Y' diag(dg_b) Y;  K1 @ G = block-row swap; D33 @ G = w33 rows
+    rs = (scal[:, 0] * scal[:, 1])[:, None, None]
+    rss = (scal[:, 0] * scal[:, 1] ** 2)[:, None, None]
+    G = mm(YTg * dg[:, None, :], jnp.swapaxes(YTg, 1, 2))
+    Gsw = jnp.concatenate([G[:, half:], G[:, :half]], axis=1)
+    I = jnp.eye(K, dtype=dt)
+    T = I[None] + rs * Gsw + rss * (w33col[None] * G)
+
+    if cold:
+        n1 = jnp.max(jnp.sum(jnp.abs(T), axis=1), axis=1)
+        ninf = jnp.max(jnp.sum(jnp.abs(T), axis=2), axis=1)
+        X = jnp.swapaxes(T, 1, 2) / (n1 * ninf)[:, None, None]
+    else:
+        X = X_prev
+
+    def body(_, Xc):
+        return mm(Xc, 2.0 * I[None] - mm(T, Xc))
+
+    Xf = jax.lax.fori_loop(0, n_iter, body, X)
+    res = jnp.max(jnp.abs(I[None] - mm(T, Xf)), axis=(1, 2))
+    X_out = jnp.where(need[:, None, None], Xf, X_prev)
+    return X_out, jnp.where(need, res, 0.0)
 
 
 def tinv_safe_refresh(tile_combo, scal, dg, X_prev, need, YTst, w33col,
