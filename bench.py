@@ -115,6 +115,7 @@ def main():
         ir_steps=int(os.environ.get("BENCH_IR", "1")),
         pallas_tile=int(os.environ.get("BENCH_TILE", "32")),
         eig_tail_mult=int(os.environ.get("BENCH_TAIL_MULT", "1")),
+        eig_refresh_cap_div=int(os.environ.get("BENCH_REFRESH_DIV", "32")),
         eig_compact_chunks=tuple(
             int(v) for v in os.environ.get(
                 "BENCH_COMPACT", "2,4,8,16,24").split(",") if v),

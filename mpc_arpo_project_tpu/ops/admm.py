@@ -95,6 +95,18 @@ class ADMMSettings(NamedTuple):
     # full basin-entry run — measured ~25 iters on the flagship problem)
     eig_warm_iters: int = 3
     eig_cold_iters: int = 30
+    # refresh capacity divisor: each Woodbury-inner refresh fire first
+    # compacts needy rows (argsort gather) into a buffer of n_slots/div rows
+    # and refreshes only those — per-row refresh math is independent, so
+    # results are bit-identical to a full-width refresh; a lax.cond falls
+    # back to full width when more rows are needy than the buffer holds
+    # (synchronized debris-approach windows). Round-3 trace: the full-width
+    # refresh fired ~once per 2 chunks (~28x/step) and its batched (K,K)
+    # matmuls + YT gathers dominated the per-chunk glue. 0/1 disables.
+    # A/B on the flagship bench (B=1024, n_slots=1152): div 8 -> 4,704/s,
+    # 16 -> 5,164, 32 -> 5,565 (cap 36 rows), 64 -> 5,126 (overflow
+    # fallbacks win back the cost) — vs 3,866 full-width.
+    eig_refresh_cap_div: int = 32
     # 'eig' straggler compaction: at each listed chunk count the batch is
     # re-sorted WITHIN combo groups so still-running problems pack into the
     # fewest tiles (pure permutation of independent problems — iterates are
@@ -1282,12 +1294,36 @@ def _solve_eig(prob, coeffs, lbar, ubar, state, settings, qbar, active):
             [r[:, None], sd["ss"][:, None], jnp.zeros((n_slots, 6), dtype=dt)],
             axis=1)
 
-    def refresh(sd, tv, r, mask):
+    cap_div = max(0, int(settings.eig_refresh_cap_div))
+    cap = n_slots // cap_div if cap_div > 1 else n_slots
+
+    def refresh_rows(combo_r, scal_r, dg_r, tv_r, mask_r):
         return admm_eig.tinv_safe_refresh(
-            tile_combo, scal_of(sd, r), dg_of(sd, r), tv, mask, prob.eig_YT,
+            combo_r, scal_r, dg_r, tv_r, mask_r, prob.eig_YT,
             prob.eig_w33col, warm_iters=settings.eig_warm_iters,
             cold_iters=settings.eig_cold_iters, bt=bt,
             precision=settings.mxu_precision)
+
+    def refresh(sd, tv, r, mask):
+        combo_r = ((sd["c1s"] > 0).astype(jnp.int32) * 2
+                   + (sd["c2s"] > 0).astype(jnp.int32))
+        scal_r, dg_r = scal_of(sd, r), dg_of(sd, r)
+        if cap >= n_slots:
+            return refresh_rows(combo_r, scal_r, dg_r, tv, mask)
+
+        def compacted():
+            # needy rows first (stable: slot order); bit-identical to the
+            # full-width refresh because per-row math is independent and
+            # non-needy rows pass through inside tinv_refresh anyway
+            idx = jnp.argsort(~mask, stable=True)[:cap]
+            sub = refresh_rows(combo_r[idx], scal_r[idx], dg_r[idx],
+                               tv[idx], mask[idx])
+            return tv.at[idx].set(sub)
+
+        def full():
+            return refresh_rows(combo_r, scal_r, dg_r, tv, mask)
+
+        return jax.lax.cond(jnp.sum(mask) <= cap, compacted, full)
 
     tinv = jax.lax.cond(jnp.any(need),
                         lambda: refresh(sdata, tinv, rsc, need),

@@ -388,11 +388,14 @@ def eig_chunk(
 # Woodbury inner-inverse refresh: T = I + C(r,s) G,  G = Y' diag(dg) Y
 # ---------------------------------------------------------------------------
 
-def tinv_refresh(tile_combo, scal, dg, X_prev, need, YTst, w33col,
+def tinv_refresh(combo_row, scal, dg, X_prev, need, YTst, w33col,
                  *, n_iter: int, cold: bool, bt: int = 32,
                  precision: str = "highest", interpret=None):
     """Masked per-problem refresh of T^{-1}; rows with need=False pass
-    through (residual reads 0). Tiles must be combo-pure (see eig_chunk).
+    through (residual reads 0). ``combo_row`` is the PER-ROW combo index
+    (the caller may pass any row subset — per-row math is independent, which
+    is what lets ops.admm._solve_eig compact needy rows to a small capacity
+    before refreshing instead of paying full batch width every fire).
 
     Plain batched XLA, NOT a Pallas kernel — a measured round-3 reversal.
     The original Pallas refresh (statically unrolled per-problem loop of
@@ -405,10 +408,9 @@ def tinv_refresh(tile_combo, scal, dg, X_prev, need, YTst, w33col,
     overhead is irrelevant and XLA's batched (B,K,K) matmuls put the same
     math at a few ms. Pallas stays where it pays: the per-iteration fused
     chunk kernel above."""
-    del interpret  # accepted for call-site compatibility; XLA everywhere
+    del interpret, bt  # call-site compatibility; XLA everywhere, any rows
     B, K = X_prev.shape[:2]
     dt = X_prev.dtype
-    assert B % bt == 0, (B, bt)
     half = K // 2
     prec = {
         "highest": jax.lax.Precision.HIGHEST,
@@ -417,8 +419,7 @@ def tinv_refresh(tile_combo, scal, dg, X_prev, need, YTst, w33col,
     }[precision]
     mm = functools.partial(jnp.matmul, precision=prec,
                            preferred_element_type=dt)
-    combo_slot = jnp.repeat(tile_combo, bt, total_repeat_length=B)
-    YTg = YTst[combo_slot]  # (B, K, nz)
+    YTg = YTst[combo_row]  # (B, K, nz)
     # T_b = I + r*s*(K1 @ G_b) + r*s^2*(D33 @ G_b)
     #   G_b = Y' diag(dg_b) Y;  K1 @ G = block-row swap; D33 @ G = w33 rows
     rs = (scal[:, 0] * scal[:, 1])[:, None, None]
@@ -444,21 +445,23 @@ def tinv_refresh(tile_combo, scal, dg, X_prev, need, YTst, w33col,
     return X_out, jnp.where(need, res, 0.0)
 
 
-def tinv_safe_refresh(tile_combo, scal, dg, X_prev, need, YTst, w33col,
+def tinv_safe_refresh(combo_row, scal, dg, X_prev, need, YTst, w33col,
                       *, warm_iters: int, cold_iters: int,
                       bt: int = 32, precision: str = "highest",
                       interpret=None):
     """Warm refresh with overflow-recovering cold restarts (same blend-NaN
     rationale as admm_pallas.masked_safe_refresh: bad rows are zeroed in XLA
-    before the cold retry so 0*inf never poisons the blend)."""
-    Xw, r = tinv_refresh(tile_combo, scal, dg, X_prev, need, YTst, w33col,
+    before the cold retry so 0*inf never poisons the blend).
+
+    ``combo_row`` is per-row (see tinv_refresh); any row subset is valid."""
+    Xw, r = tinv_refresh(combo_row, scal, dg, X_prev, need, YTst, w33col,
                          n_iter=warm_iters, cold=False, bt=bt,
                          precision=precision, interpret=interpret)
     bad = need & ((r > 1e-2) | ~jnp.isfinite(r))
     Xw = jnp.where(bad[:, None, None], 0.0, Xw)
 
     def cold():
-        return tinv_refresh(tile_combo, scal, dg, Xw, bad, YTst, w33col,
+        return tinv_refresh(combo_row, scal, dg, Xw, bad, YTst, w33col,
                             n_iter=cold_iters, cold=True, bt=bt,
                             precision=precision, interpret=interpret)[0]
 

@@ -230,9 +230,9 @@ def test_tinv_refresh_masked(setup):
     c1, c2, s = p["coeffs"]
     combo = np.asarray((c1 > 0).astype(jnp.int32) * 2 + (c2 > 0).astype(jnp.int32))
     K = prob.eig_YT.shape[1]
-    # build a combo-pure batch: all rows combo 3, debris active
+    # all rows combo 3, debris active (refresh takes PER-ROW combo indices)
     bt = 4
-    tile_combo = jnp.full((B // bt,), 3, dtype=jnp.int32)
+    combo_row = jnp.full((B,), 3, dtype=jnp.int32)
     r = jnp.full((B,), 1.3, dtype=jnp.float64)
     sv = jnp.asarray(np.linspace(0.5, 2.5, B))
     scal = jnp.concatenate([r[:, None], sv[:, None],
@@ -241,7 +241,7 @@ def test_tinv_refresh_masked(setup):
     dg = 1.0 / (1.0 + r[:, None] * lam[None, :])
     X0 = jnp.zeros((B, K, K), dtype=jnp.float64)
     need = jnp.asarray([True, False] * (B // 2))
-    X = admm_eig.tinv_safe_refresh(tile_combo, scal, dg, X0, need,
+    X = admm_eig.tinv_safe_refresh(combo_row, scal, dg, X0, need,
                                    prob.eig_YT, prob.eig_w33col,
                                    warm_iters=3, cold_iters=40, bt=bt)
     YT = np.asarray(prob.eig_YT[3])
