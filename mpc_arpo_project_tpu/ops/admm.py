@@ -107,6 +107,19 @@ class ADMMSettings(NamedTuple):
     # 16 -> 5,164, 32 -> 5,565 (cap 36 rows), 64 -> 5,126 (overflow
     # fallbacks win back the cost) — vs 3,866 full-width.
     eig_refresh_cap_div: int = 32
+    # MXU precision for the Woodbury-inner NS refresh matmuls only (the
+    # fused solve kernel keeps mxu_precision). Measured negative result
+    # (round 3, flagship bench): "high" (3-pass bf16) is NOT a win — wall
+    # unchanged (5,344 vs 5,565/s) while the ~1e-6 tinv plateau perturbs
+    # iterates enough to move the status mix 2 points AWAY from the fp64
+    # oracle (SOLVED 60.6% vs 62.9%) and drop mean iters 1539 -> 1400:
+    # the refresh is gather/launch-bound, not matmul-pass-bound, so the
+    # cheaper passes buy nothing and cost acceptance margin. Keep HIGHEST.
+    eig_refresh_precision: str = "highest"
+    # cold-restart rows whose residuals go non-finite mid-solve (fp32
+    # overflow — see the sigma=0.01 diagnostic note in the body). No effect
+    # on fp64 or on healthy rows; disable to reproduce the round-3 behavior.
+    eig_nan_reset: bool = True
     # 'eig' straggler compaction: at each listed chunk count the batch is
     # re-sorted WITHIN combo groups so still-running problems pack into the
     # fewest tiles (pure permutation of independent problems — iterates are
@@ -266,6 +279,12 @@ class ADMMResult(NamedTuple):
     # certified / stalled); == iters for problems that ran to the cap,
     # 0 for inactive problems. Drives straggler/tail diagnostics.
     done_iters: jnp.ndarray = jnp.zeros((), dtype=jnp.int32)  # (B,)
+    # convergence-test denominators (eps_abs + eps_rel * rel_scale) frozen at
+    # the same chunk as pri_res/dua_res: res/tol ratios <= 1 mean converged,
+    # ~1-3 mean a plateau just above tolerance (fp32 floor diagnostics),
+    # >> 1 genuinely unconverged. 0 where never computed.
+    pri_tol: jnp.ndarray = jnp.zeros(())  # (B,)
+    dua_tol: jnp.ndarray = jnp.zeros(())  # (B,)
 
 
 # --------------------------------------------------------------------------
@@ -731,7 +750,7 @@ def _admm_solve_impl(prob, coeffs, l, u, state, settings, qbar, active=None):
 
     def body(carry):
         (x, y, z, rp_prev, rd_prev, done, status, chunk, L, rho_scale,
-         best_rp, best_rd, last_prog, done_chunk) = carry
+         best_rp, best_rd, last_prog, done_chunk, tp_prev, td_prev) = carry
         done_in = done
         (x_n, y_n, z_n, _, _), _ = jax.lax.scan(
             one_iter,
@@ -755,6 +774,10 @@ def _admm_solve_impl(prob, coeffs, l, u, state, settings, qbar, active=None):
         # drifting for them; their iterates are frozen below)
         rp = jnp.where(done, rp_prev, rp)
         rd = jnp.where(done, rd_prev, rd)
+        tp = jnp.where(done, tp_prev,
+                       settings.eps_abs + settings.eps_rel * rp_rel)
+        td = jnp.where(done, td_prev,
+                       settings.eps_abs + settings.eps_rel * rd_rel)
         conv = (rp <= settings.eps_abs + settings.eps_rel * rp_rel) & (
             rd <= settings.eps_abs + settings.eps_rel * rd_rel
         )
@@ -812,7 +835,7 @@ def _admm_solve_impl(prob, coeffs, l, u, state, settings, qbar, active=None):
 
         done_chunk = jnp.where(done & ~done_in, chunk + 1, done_chunk)
         return (x, y, z, rp, rd, done, status, chunk + 1, L, rho_scale,
-                best_rp, best_rd, last_prog, done_chunk)
+                best_rp, best_rd, last_prog, done_chunk, tp, td)
 
     rp0 = jnp.full((B,), jnp.inf, dtype=dt)
     carry0 = (
@@ -830,9 +853,12 @@ def _admm_solve_impl(prob, coeffs, l, u, state, settings, qbar, active=None):
         rp0,  # best_rd
         jnp.zeros((B,), dtype=jnp.int32),  # last progress chunk
         jnp.zeros((B,), dtype=jnp.int32),  # done_chunk
+        jnp.zeros((B,), dtype=dt),  # pri tol at exit
+        jnp.zeros((B,), dtype=dt),  # dua tol at exit
     )
     (x, y, z, rp, rd, done, status, chunks, _, rho_scale,
-     _, _, _, done_chunk) = jax.lax.while_loop(cond, body, carry0)
+     _, _, _, done_chunk, rp_tol, rd_tol) = jax.lax.while_loop(
+        cond, body, carry0)
     status = jnp.where(done, status, MAX_ITER).astype(jnp.int32)
     done_chunk = jnp.where(active & (done_chunk == 0), chunks, done_chunk)
 
@@ -846,6 +872,8 @@ def _admm_solve_impl(prob, coeffs, l, u, state, settings, qbar, active=None):
                         minv=state.minv, minv_ok=state.minv_ok,
                         ref_coef=state.ref_coef),
         done_iters=done_chunk * settings.check_every,
+        pri_tol=rp_tol,
+        dua_tol=rd_tol,
     )
 
 
@@ -1302,7 +1330,7 @@ def _solve_eig(prob, coeffs, lbar, ubar, state, settings, qbar, active):
             combo_r, scal_r, dg_r, tv_r, mask_r, prob.eig_YT,
             prob.eig_w33col, warm_iters=settings.eig_warm_iters,
             cold_iters=settings.eig_cold_iters, bt=bt,
-            precision=settings.mxu_precision)
+            precision=settings.eig_refresh_precision)
 
     def refresh(sd, tv, r, mask):
         combo_r = ((sd["c1s"] > 0).astype(jnp.int32) * 2
@@ -1346,7 +1374,8 @@ def _solve_eig(prob, coeffs, lbar, ubar, state, settings, qbar, active):
 
         def body(carry):
             (x, y, z, rp_prev, rd_prev, done, status, chunk, tinv, rho_scale,
-             ref, best_rp, best_rd, last_prog, done_chunk) = carry
+             ref, best_rp, best_rd, last_prog, done_chunk, tp_prev,
+             td_prev) = carry
             done_in = done
             nc = chunk + mult
             x_n, y_n, z_n, stats = admm_eig.eig_chunk(
@@ -1369,6 +1398,31 @@ def _solve_eig(prob, coeffs, lbar, ubar, state, settings, qbar, active):
             rp = jnp.where(done, rp_prev, stats[:, 0])
             rd = jnp.where(done, rd_prev, cinv * stats[:, 2])
             rp_rel, rd_rel = stats[:, 1], cinv * stats[:, 3]
+            tp = jnp.where(done, tp_prev,
+                           settings.eps_abs + settings.eps_rel * rp_rel)
+            td = jnp.where(done, td_prev,
+                           settings.eps_abs + settings.eps_rel * rd_rel)
+            if settings.eig_nan_reset:
+                # fp32 overflow/NaN mid-solve: measured at sigma=0.01 (the
+                # round-3 success-gap diagnostic), every MAX_ITER exit had
+                # NaN residuals — debris-window rows blow up in fp32 and
+                # then burn the whole stall window on a poisoned iterate,
+                # while the fp64 oracle SOLVES those same steps. Cold-
+                # restart the row in place (its residual reads inf so it
+                # cannot certify this chunk; the stall clock still bounds
+                # repeat offenders). Healthy rows are untouched.
+                badrow = (~jnp.isfinite(rp) | ~jnp.isfinite(rd)) & ~done
+
+                def _reset(t):
+                    x_, y_, z_ = t
+                    b = badrow[:, None]
+                    return (jnp.where(b, 0.0, x_), jnp.where(b, 0.0, y_),
+                            jnp.where(b, 0.0, z_))
+
+                x_n, y_n, z_n = jax.lax.cond(
+                    jnp.any(badrow), _reset, lambda t: t, (x_n, y_n, z_n))
+                rp = jnp.where(badrow, jnp.inf, rp)
+                rd = jnp.where(badrow, jnp.inf, rd)
             pinf = stats[:, 4] > 0
             dinf = stats[:, 5] > 0
             conv = (rp <= settings.eps_abs + settings.eps_rel * rp_rel) & (
@@ -1433,7 +1487,8 @@ def _solve_eig(prob, coeffs, lbar, ubar, state, settings, qbar, active):
 
             done_chunk = jnp.where(done & ~done_in, nc, done_chunk)
             return (x, y, z, rp, rd, done, status, nc, tinv,
-                    rho_scale, ref, best_rp, best_rd, last_prog, done_chunk)
+                    rho_scale, ref, best_rp, best_rd, last_prog, done_chunk,
+                    tp, td)
 
         return body
 
@@ -1472,6 +1527,8 @@ def _solve_eig(prob, coeffs, lbar, ubar, state, settings, qbar, active):
         rp0,  # best_rd
         jnp.zeros((n_slots,), dtype=jnp.int32),  # last progress chunk
         jnp.zeros((n_slots,), dtype=jnp.int32),  # done_chunk
+        jnp.zeros((n_slots,), dtype=dt),  # pri tol at exit
+        jnp.zeros((n_slots,), dtype=dt),  # dua tol at exit
     )
 
     prev_end = 0
@@ -1493,7 +1550,7 @@ def _solve_eig(prob, coeffs, lbar, ubar, state, settings, qbar, active):
                                    make_body(sdata, 1), carry)
 
     (x, y, z, rp, rd, done, status, chunks, tinv, rho_scale, ref,
-     _, _, _, done_chunk) = carry
+     _, _, _, done_chunk, rp_tol, rd_tol) = carry
 
     # ---- scatter back to problem order: src (permuted alongside the data)
     # maps slot -> problem; invert it (dummy slots carry src == B, an
@@ -1502,6 +1559,7 @@ def _solve_eig(prob, coeffs, lbar, ubar, state, settings, qbar, active):
     sc = lambda a: a[final_slot]
     x, y, z = sc(x), sc(y), sc(z)
     rp, rd = sc(rp), sc(rd)
+    rp_tol, rd_tol = sc(rp_tol), sc(rd_tol)
     status = sc(status)
     done = sc(done)
     done_chunk = sc(done_chunk)
@@ -1522,4 +1580,6 @@ def _solve_eig(prob, coeffs, lbar, ubar, state, settings, qbar, active):
                         minv=tinv, minv_ok=jnp.ones((), dtype=bool),
                         ref_coef=ref),
         done_iters=done_chunk * settings.check_every,
+        pri_tol=rp_tol,
+        dua_tol=rd_tol,
     )

@@ -104,6 +104,11 @@ class RolloutOut(NamedTuple):
     success: jnp.ndarray  # (B,) bool
     final_rho: jnp.ndarray  # (B,)
     done_iters: jnp.ndarray  # (T, B) per-problem iterations to finish
+    # residual / tolerance ratios at solver exit (<=1 converged, ~1-3 a
+    # plateau just above tolerance, >>1 unconverged; raw residual where the
+    # solve path does not report its tolerance denominator)
+    pri_res: jnp.ndarray  # (T, B)
+    dua_res: jnp.ndarray  # (T, B)
 
 
 def build_engine(
@@ -516,6 +521,12 @@ def _step(engine: DiscreteEngine, carry: _Carry, step_in,
         jnp.where(alive, res.status, -1),
         res.iters,
         jnp.where(alive, res.done_iters, 0),
+        jnp.where(alive, jnp.where(res.pri_tol > 0,
+                                   res.pri_res / res.pri_tol, res.pri_res),
+                  0.0),
+        jnp.where(alive, jnp.where(res.dua_tol > 0,
+                                   res.dua_res / res.dua_tol, res.dua_res),
+                  0.0),
     )
     return new_carry, out
 
@@ -549,7 +560,7 @@ def rollout(
             lambda c, x: _step(engine, c, x, is_reject_b), carry0, steps
         )
     (x_true_s, xest_s, ctrl_s, noise_s, code_s, status_s, iters_s,
-     done_iters_s) = outs
+     done_iters_s, rp_s, rd_s) = outs
 
     # prepend initial column (reference stores initial conditions at index 0)
     x_true = jnp.concatenate([x0b[None], x_true_s], axis=0)
@@ -570,6 +581,8 @@ def rollout(
         success=carry.succ,
         final_rho=carry.admm_state.rho_scale,
         done_iters=done_iters_s,
+        pri_res=rp_s,
+        dua_res=rd_s,
     )
 
 
@@ -611,7 +624,7 @@ def rollout_chunked(
 
     cat = lambda xs: jnp.concatenate(xs, axis=0)
     (x_true_s, xest_s, ctrl_s, noise_s, code_s, status_s, iters_s,
-     done_iters_s) = (cat([o[k] for o in outs]) for k in range(8))
+     done_iters_s, rp_s, rd_s) = (cat([o[k] for o in outs]) for k in range(10))
     x_true = jnp.concatenate([x0b[None], x_true_s], axis=0)
     xest0 = jnp.concatenate([x0b, jnp.zeros((B, 2), dtype=x0b.dtype)], axis=1)
     x_est = jnp.concatenate([xest0[None], xest_s], axis=0)
@@ -629,4 +642,6 @@ def rollout_chunked(
         success=carry.succ,
         final_rho=carry.admm_state.rho_scale,
         done_iters=done_iters_s,
+        pri_res=rp_s,
+        dua_res=rd_s,
     )

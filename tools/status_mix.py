@@ -140,6 +140,20 @@ def run_rollout_arm(name, sim, mpc, fail, debris, draws, *, solve_mode,
         sel = st[(dec == d) & (st >= 0)]
         mi_by_dec.append(
             round(float((sel == 2).mean()), 4) if sel.size else None)
+    # Exit-residual distribution of MAX_ITER steps: discriminates an fp32
+    # noise floor sitting JUST above the 1e-3 tolerance (plateau at ~1-3e-3)
+    # from genuinely divergent/infeasible-adjacent plateaus (>>1e-2). The
+    # residuals are the solver's scaled OSQP residuals at exit (eps_abs =
+    # eps_rel = 1e-3 acceptance: max(rp, rd) vs ~1e-3 + 1e-3*rel).
+    res_q = {}
+    rp = np.asarray(out.pri_res)
+    rd = np.asarray(out.dua_res)
+    for code, nm in ((2, "MAX_ITER"), (1, "SOLVED")):
+        m = (st == code)
+        if m.any():
+            worst = np.maximum(rp[m], rd[m])
+            res_q[nm] = [round(float(v), 6) for v in
+                         np.percentile(worst, [10, 50, 90, 99])]
     return {
         "arm": name,
         "solve_mode": solve_mode,
@@ -151,6 +165,7 @@ def run_rollout_arm(name, sim, mpc, fail, debris, draws, *, solve_mode,
         "mix": {STATUS_NAME[k]: round(v / max(alive, 1), 4)
                 for k, v in codes.items()},
         "max_iter_frac_by_lifetime_decile": mi_by_dec,
+        "exit_residual_pctiles_10_50_90_99": res_q,
         "counts": {STATUS_NAME[k]: v for k, v in codes.items()},
         "success_rate": float(np.asarray(out.success).mean()),
         "n_success": int(np.asarray(out.success).sum()),
