@@ -8,7 +8,9 @@ bare QP solves). vs_baseline is against the 10k solves/s/chip target.
 
 Extra diagnostics go to stderr; the single stdout line is the contract.
 
-Env knobs: BENCH_BATCH (default 1024), BENCH_QUICK=1 (small smoke config).
+Env knobs: BENCH_BATCH (default 1024), BENCH_QUICK=1 (small smoke config);
+solver A/B: BENCH_SOLVE_MODE, BENCH_TILE, BENCH_COMPACT, BENCH_REFRESH_DIV,
+BENCH_APPLY (loop|vpu|blockdiag), BENCH_SMAX (debris-row equilibration cap).
 """
 
 import json
@@ -116,6 +118,8 @@ def main():
         pallas_tile=int(os.environ.get("BENCH_TILE", "32")),
         eig_tail_mult=int(os.environ.get("BENCH_TAIL_MULT", "1")),
         eig_refresh_cap_div=int(os.environ.get("BENCH_REFRESH_DIV", "32")),
+        eig_apply=os.environ.get("BENCH_APPLY", "loop"),
+        eig_deb_equil_smax=float(os.environ.get("BENCH_SMAX", "32")),
         eig_compact_chunks=tuple(
             int(v) for v in os.environ.get(
                 "BENCH_COMPACT", "2,4,8,16,24").split(",") if v),

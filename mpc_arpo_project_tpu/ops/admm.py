@@ -120,6 +120,27 @@ class ADMMSettings(NamedTuple):
     # overflow — see the sigma=0.01 diagnostic note in the body). No effect
     # on fp64 or on healthy rows; disable to reproduce the round-3 behavior.
     eig_nan_reset: bool = True
+    # per-problem T^{-1} application strategy on debris tiles (see
+    # admm_eig.eig_chunk): 'loop' = bt batch-1 (1,K)@(K,K) dots (round-3
+    # shipped), 'vpu' = broadcast-multiply-reduce (K*K MACs/problem as
+    # elementwise VPU work instead of 1/128-utilized MXU passes),
+    # 'blockdiag' = one (bt, bt*K)@(bt*K, K) block-diagonal MXU matmul.
+    eig_apply: str = "loop"
+    # fp32 robustification of huge debris slopes (the round-3 sigma=0.01
+    # docking-gap mechanism): the slope s = (y_est-vy)/(x_est-vx) blows up
+    # to ~1e5 when the chaser crosses the chosen bbox vertex's x-coordinate
+    # (reference computes it unguarded, `simhelpers.py:83-101`, and fp64
+    # OSQP absorbs it), and the ADMM normal matrix conditioning grows ~s^2
+    # (measured: cond(T) 1.5e3 at s=10 -> 1.2e9 at s=1e4) — far beyond fp32
+    # for ~0.25-0.5% of steps, which then DIVERGE (non-finite residuals,
+    # MAX_ITER exits, failsafe takes over; docking drops ~20 points at
+    # sigma=0.01). Fix: per-problem row equilibration of the debris rows
+    # INSIDE the eig solve — rows scaled by alpha = min(1, smax/|s|), an
+    # exact rescaling of the same QP (bounds, slack coupling and duals warp
+    # by alpha; the optimum is identical) that caps the correction
+    # coefficients at smax-level conditioning. alpha == 1 exactly (bit-
+    # identical path) whenever |s| <= smax. 0 disables.
+    eig_deb_equil_smax: float = 32.0
     # 'eig' straggler compaction: at each listed chunk count the batch is
     # re-sorted WITHIN combo groups so still-running problems pack into the
     # fewest tiles (pure permutation of independent problems — iterates are
@@ -250,6 +271,8 @@ class ADMMProblem(NamedTuple):
     eig_w33row: Optional[jnp.ndarray] = None  # (1, K) D33 diagonal
     eig_w33col: Optional[jnp.ndarray] = None  # (K, K) same, lane-broadcast
     eig_K1: Optional[jnp.ndarray] = None  # (K, K) block-swap matrix
+    eig_wuurow: Optional[jnp.ndarray] = None  # (1, K) U-block equil diag
+    eig_wuucol: Optional[jnp.ndarray] = None  # (K, K) same, lane-broadcast
 
 
 class ADMMState(NamedTuple):
@@ -481,6 +504,12 @@ def prepare_problem(
             W_st.append(V)
             lam_st.append(lam)
             YT_st.append(Z.T @ V)
+        # debris-row equilibration term (eig_deb_equil_smax): scaling row j
+        # by alpha adds (alpha^2-1)*rho_j*ad_j ad_j' to the correction; in
+        # the Z basis that is diagonal on the U-block with entries
+        # 1/(rho_j*sc3_j^2) (U3_j = rho_j*sc3_j * ad_j)
+        wuu = np.zeros(Kw)
+        wuu[:L] = 1.0 / (rho[dr] * sc3**2)
         eig_data = dict(
             eig_A=jnp.asarray(np.stack(A_st), dtype=dtype),
             eig_W=jnp.asarray(np.stack(W_st), dtype=dtype),
@@ -489,6 +518,8 @@ def prepare_problem(
             eig_w33row=jnp.asarray(w33[None, :], dtype=dtype),
             eig_w33col=jnp.asarray(np.tile(w33[:, None], (1, Kw)), dtype=dtype),
             eig_K1=jnp.asarray(K1, dtype=dtype),
+            eig_wuurow=jnp.asarray(wuu[None, :], dtype=dtype),
+            eig_wuucol=jnp.asarray(np.tile(wuu[:, None], (1, Kw)), dtype=dtype),
         )
 
     as_dt = lambda x: jnp.asarray(x, dtype=dtype)
@@ -1245,29 +1276,33 @@ def _solve_eig(prob, coeffs, lbar, ubar, state, settings, qbar, active):
     # order makes early-chunk cost scale with the alive count instead.
     # A pure permutation: per-problem kernel math is row-independent, so
     # results are bit-identical regardless of slot placement.
-    n_slots = B + 4 * bt
-    oh = (combo[:, None] == jnp.arange(4, dtype=jnp.int32)[None, :]).astype(
-        jnp.int32)
+    # group = combo*2 + debris_active: group-pure tiles let the kernel skip
+    # the whole Woodbury correction (and its tinv DMA) on debris-free tiles
+    group = combo * 2 + (s != 0.0).astype(jnp.int32)
+    n_groups = 8
+    n_slots = B + n_groups * bt
+    oh = (group[:, None] == jnp.arange(n_groups, dtype=jnp.int32)[None, :]
+          ).astype(jnp.int32)
     counts = oh.sum(axis=0)
     padded = ((counts + bt - 1) // bt) * bt
     bounds = jnp.cumsum(padded)
     goff = bounds - padded
     cstart = jnp.cumsum(counts) - counts
-    key = (combo * (2 * B) + (~active).astype(jnp.int32) * B
+    key = (group * (2 * B) + (~active).astype(jnp.int32) * B
            + jnp.arange(B, dtype=jnp.int32))
-    perm = jnp.argsort(key)  # combo-major, alive-first, batch-order stable
-    combo_sorted = combo[perm]
+    perm = jnp.argsort(key)  # group-major, alive-first, batch-order stable
+    group_sorted = group[perm]
     slot = jnp.zeros((B,), jnp.int32).at[perm].set(
-        goff[combo_sorted] + jnp.arange(B, dtype=jnp.int32)
-        - cstart[combo_sorted])  # (B,) unique slots
+        goff[group_sorted] + jnp.arange(B, dtype=jnp.int32)
+        - cstart[group_sorted])  # (B,) unique slots
     src = jnp.full((n_slots,), B, jnp.int32).at[slot].set(
         jnp.arange(B, dtype=jnp.int32))
     dummy = src >= B
     srcc = jnp.clip(src, 0, B - 1)
     n_tiles = n_slots // bt
     tpos = jnp.arange(n_tiles, dtype=jnp.int32) * bt
-    tile_combo = (tpos[:, None] >= bounds[None, :3]).sum(axis=1).astype(
-        jnp.int32)
+    tile_group = (tpos[:, None] >= bounds[None, :n_groups - 1]).sum(
+        axis=1).astype(jnp.int32)
 
     gat = lambda a: a[srcc]
     c1s, c2s, ss = gat(c1), gat(c2), gat(s)
@@ -1293,13 +1328,29 @@ def _solve_eig(prob, coeffs, lbar, ubar, state, settings, qbar, active):
     tv_finite = jnp.isfinite(tinv).all(axis=(1, 2))
     tinv = jnp.where(tv_finite[:, None, None], tinv, 0.0)
 
-    def dg_of(r):
-        return 1.0 / (1.0 + r[:, None] * lam_s)
+    # ---- debris-row equilibration (eig_deb_equil_smax docstring): run the
+    # solve on the per-problem alpha-scaled problem. alpha == 1 (bit-
+    # identical) unless |s| > smax; bounds and slacks scale by alpha on
+    # debris rows, duals by 1/alpha, and the correction coefficients in the
+    # kernel/refresh become (al^2 s, al^2 s^2, al^2 - 1).
+    smax = float(settings.eig_deb_equil_smax)
 
-    def scal_of(r):
-        return jnp.concatenate(
-            [r[:, None], ss[:, None], jnp.zeros((n_slots, 6), dtype=dt)],
-            axis=1)
+    def al_of(ssv):
+        if smax <= 0:
+            return jnp.ones_like(ssv)
+        sa = jnp.abs(ssv)
+        return jnp.where(sa > smax, smax / sa, jnp.ones_like(ssv))
+
+    dmask_m = jnp.max(scat_s, axis=0)  # (m,) 1.0 on debris rows
+
+    def rowsc_of(ssv):
+        return 1.0 + (al_of(ssv)[:, None] - 1.0) * dmask_m[None, :]
+
+    rowsc0 = rowsc_of(ss)
+    lb = lb * rowsc0
+    ub = ub * rowsc0
+    z0 = z0 * rowsc0
+    y0 = y0 / rowsc0
 
     sz0 = ss != 0.0
     # exact refresh gating: no iterative refinement in this mode, so T^{-1}
@@ -1319,7 +1370,8 @@ def _solve_eig(prob, coeffs, lbar, ubar, state, settings, qbar, active):
 
     def scal_of(sd, r):
         return jnp.concatenate(
-            [r[:, None], sd["ss"][:, None], jnp.zeros((n_slots, 6), dtype=dt)],
+            [r[:, None], sd["ss"][:, None], al_of(sd["ss"])[:, None],
+             jnp.zeros((n_slots, 5), dtype=dt)],
             axis=1)
 
     cap_div = max(0, int(settings.eig_refresh_cap_div))
@@ -1330,7 +1382,8 @@ def _solve_eig(prob, coeffs, lbar, ubar, state, settings, qbar, active):
             combo_r, scal_r, dg_r, tv_r, mask_r, prob.eig_YT,
             prob.eig_w33col, warm_iters=settings.eig_warm_iters,
             cold_iters=settings.eig_cold_iters, bt=bt,
-            precision=settings.eig_refresh_precision)
+            precision=settings.eig_refresh_precision,
+            wuucol=prob.eig_wuucol)
 
     def refresh(sd, tv, r, mask):
         combo_r = ((sd["c1s"] > 0).astype(jnp.int32) * 2
@@ -1379,7 +1432,7 @@ def _solve_eig(prob, coeffs, lbar, ubar, state, settings, qbar, active):
             done_in = done
             nc = chunk + mult
             x_n, y_n, z_n, stats = admm_eig.eig_chunk(
-                tile_combo, tinv, scal_of(sd, rho_scale), sd["qb"], sd["lb"],
+                tile_group, tinv, scal_of(sd, rho_scale), sd["qb"], sd["lb"],
                 sd["ub"], dg_of(sd, rho_scale), x, y, z,
                 prob.eig_A, prob.eig_W, prob.eig_YT, prob.Pbar, prob.eig_K1,
                 prob.eig_w33row, gsel_s, scat_s, rsel_s, gscat_s,
@@ -1393,6 +1446,9 @@ def _solve_eig(prob, coeffs, lbar, ubar, state, settings, qbar, active):
                 pinf_margin=float(settings.pinf_support_margin),
                 bt=bt,
                 precision=settings.mxu_precision,
+                apply=settings.eig_apply,
+                wuu_row=prob.eig_wuurow,
+                dmask=dmask_m.reshape(1, -1),
             )
             cinv = 1.0 / prob.c
             rp = jnp.where(done, rp_prev, stats[:, 0])
@@ -1423,11 +1479,27 @@ def _solve_eig(prob, coeffs, lbar, ubar, state, settings, qbar, active):
                     jnp.any(badrow), _reset, lambda t: t, (x_n, y_n, z_n))
                 rp = jnp.where(badrow, jnp.inf, rp)
                 rd = jnp.where(badrow, jnp.inf, rd)
+                # a poisoned chunk's exit tolerances are inf too (rp_rel
+                # overflows with rp); zero them so telemetry reports the raw
+                # inf residual instead of the NaN ratio inf/inf (the round-3
+                # sigma=0.01 diagnostic recorded exactly that NaN)
+                tp = jnp.where(badrow, 0.0, tp)
+                td = jnp.where(badrow, 0.0, td)
             pinf = stats[:, 4] > 0
             dinf = stats[:, 5] > 0
+            if settings.eig_nan_reset:
+                # the kernel's sign-arithmetic infeasibility flags have no
+                # finiteness guards (unlike the XLA path's isfinite(sup)
+                # gate): a poisoned chunk can fire a garbage certificate and
+                # permanently finalize the row the reset just rescued
+                pinf = pinf & ~badrow
+                dinf = dinf & ~badrow
             conv = (rp <= settings.eps_abs + settings.eps_rel * rp_rel) & (
                 rd <= settings.eps_abs + settings.eps_rel * rd_rel
             )
+            # an inf rp_rel would make the tolerance inf and spuriously
+            # "converge" a finite-but-wrong residual; require finite tols
+            conv = conv & jnp.isfinite(rp_rel) & jnp.isfinite(rd_rel)
             new_status = jnp.where(
                 conv,
                 SOLVED,
@@ -1493,7 +1565,8 @@ def _solve_eig(prob, coeffs, lbar, ubar, state, settings, qbar, active):
         return body
 
     slot_pos = jnp.arange(n_slots, dtype=jnp.int32)
-    group_of_slot = (slot_pos[:, None] >= bounds[None, :3]).sum(axis=1)
+    group_of_slot = (slot_pos[:, None] >= bounds[None, :n_groups - 1]).sum(
+        axis=1)
 
     def compact(sd, carry):
         """Pack still-running problems to the front of their combo group
@@ -1558,6 +1631,12 @@ def _solve_eig(prob, coeffs, lbar, ubar, state, settings, qbar, active):
     final_slot = jnp.zeros((B,), jnp.int32).at[sdata["src"]].set(slot_pos)
     sc = lambda a: a[final_slot]
     x, y, z = sc(x), sc(y), sc(z)
+    # leave the alpha-scaled problem: slacks /= alpha, duals *= alpha on
+    # debris rows, so the carried warm state is alpha-independent across
+    # steps (exact identity when alpha == 1 everywhere)
+    rowsc_b = rowsc_of(s)
+    z = z / rowsc_b
+    y = y * rowsc_b
     rp, rd = sc(rp), sc(rd)
     rp_tol, rd_tol = sc(rp_tol), sc(rd_tol)
     status = sc(status)

@@ -73,7 +73,8 @@ def _interpret_default() -> bool:
 # ---------------------------------------------------------------------------
 
 def _eig_chunk_kernel(
-    combo_ref,  # scalar-prefetch: (n_tiles,) int32 per-tile combo
+    group_ref,  # scalar-prefetch: (n_tiles,) int32 per-tile group
+    #            (group = combo*2 + debris_active; tiles are group-pure)
     # per-tile inputs
     tinv_ref,  # (BT, K, K) per-problem (I + C G)^{-T}-free inverse: X ~ T^{-1}
     scal_ref,  # (BT, 8)  [r, s, ...]
@@ -104,6 +105,8 @@ def _eig_chunk_kernel(
     rhov_ref,  # (1, m) base rho vector
     einv_ref,  # (1, m)
     dinv_ref,  # (1, nz)
+    wuu_ref,  # (1, K) U-block debris-equilibration diagonal
+    dmask_ref,  # (1, m) f32: 1 on debris rows
     # outputs
     xo_ref,
     yo_ref,
@@ -118,56 +121,101 @@ def _eig_chunk_kernel(
     pinf_margin: float,
     bt: int,
     prec,
+    apply: str,
 ):
     f32 = x_ref.dtype
     alive_any = jnp.max(1.0 - done_ref[:, :]) > 0.5
+    # group = combo*2 + debris_active (tiles are group-pure): debris-free
+    # tiles skip the whole Woodbury correction — no per-problem T^{-1}
+    # apply, no s-gather dots — which is the common case away from the
+    # debris detection window
+    has_s = group_ref[pl.program_id(0)] % 2 == 1
 
-    @pl.when(alive_any)
-    def _compute():
+    def _compute(with_s: bool):
         r = scal_ref[:, 0][:, None]  # (BT, 1)
         s = scal_ref[:, 1][:, None]
-        rs = r * s
-        rss = r * s * s
+        # per-problem debris-row equilibration alpha (ops.admm._solve_eig;
+        # legacy callers leave scal col 2 zero -> treated as 1 = disabled).
+        # The solve operates entirely on the alpha-scaled problem: debris
+        # rows of A scaled by alpha, correction coefficients (alpha^2 s,
+        # alpha^2 s^2, alpha^2 - 1); bounds/iterates are pre-warped by the
+        # caller. alpha == 1 is bit-identical to the unscaled path.
+        al = scal_ref[:, 2][:, None]
+        al = jnp.where(al == 0.0, 1.0, al)
+        alsq = al * al
+        rs = r * alsq * s
+        rss = r * alsq * s * s
+        ruu = r * (alsq - 1.0)
         rho = r * rhov_ref[0, :][None, :]  # (BT, m)
         dg = dg_ref[:, :]
         W = wc_ref[0]
         Ac = ac_ref[0]
         YT = yt_ref[0]
         w33 = w33_ref[0, :][None, :]
+        wuu = wuu_ref[0, :][None, :]
+        rowsc = 1.0 + (al - 1.0) * dmask_ref[0, :][None, :]  # (BT, m)
 
         def matvec_A(xv):  # (BT, nz) -> (BT, m)
+            out = jnp.dot(xv, Ac.T, preferred_element_type=f32,
+                          precision=prec)
+            if not with_s:
+                return out
             g = jnp.dot(xv, gsel_ref[:, :], preferred_element_type=f32,
                         precision=prec)
-            return (
-                jnp.dot(xv, Ac.T, preferred_element_type=f32, precision=prec)
-                + jnp.dot(s * g, scat_ref[:, :], preferred_element_type=f32,
-                          precision=prec)
-            )
+            return out * rowsc + jnp.dot((al * s) * g, scat_ref[:, :],
+                                         preferred_element_type=f32,
+                                         precision=prec)
 
         def matvec_AT(wv):  # (BT, m) -> (BT, nz)
+            if not with_s:
+                return jnp.dot(wv, Ac, preferred_element_type=f32,
+                               precision=prec)
             h = jnp.dot(wv, rsel_ref[:, :], preferred_element_type=f32,
                         precision=prec)
-            return (
-                jnp.dot(wv, Ac, preferred_element_type=f32, precision=prec)
-                + jnp.dot(s * h, gscat_ref[:, :], preferred_element_type=f32,
-                          precision=prec)
-            )
+            return (jnp.dot(wv * rowsc, Ac, preferred_element_type=f32,
+                            precision=prec)
+                    + jnp.dot((al * s) * h, gscat_ref[:, :],
+                              preferred_element_type=f32, precision=prec))
+
+        def apply_tinv(a):  # per-problem t = a @ tinv[p], (BT, K)
+            if apply == "vpu":
+                # broadcast-multiply-reduce on the VPU: a batch-1 row dim
+                # uses 1/128 of an MXU pass, so K*K MACs/problem are
+                # cheaper as elementwise work than as bt tiny matmuls
+                return jnp.sum(a[:, :, None] * tinv_ref[:, :, :], axis=1)
+            if apply == "blockdiag":
+                # one full-width MXU matmul: block-diagonal LHS
+                # (bt, bt*K) x stacked tinv (bt*K, K)
+                K = a.shape[1]
+                ii = jax.lax.broadcasted_iota(jnp.int32, (bt, bt), 0)
+                jj = jax.lax.broadcasted_iota(jnp.int32, (bt, bt), 1)
+                eye = (ii == jj).astype(f32)
+                A_blk = (a[:, None, :] * eye[:, :, None]).reshape(bt, bt * K)
+                return jnp.dot(A_blk, tinv_ref[:, :, :].reshape(bt * K, K),
+                               preferred_element_type=f32, precision=prec)
+            ts = []
+            for p in range(bt):
+                ts.append(jnp.dot(a[p][None, :], tinv_ref[p],
+                                  preferred_element_type=f32,
+                                  precision=prec))
+            return jnp.concatenate(ts, axis=0)
 
         def solve_M(v):  # (BT, nz) -> (BT, nz): exact M^{-1} v (row form)
             u = jnp.dot(v, W, preferred_element_type=f32, precision=prec)
             d = u * dg
+            if not with_s:
+                return jnp.dot(d, W.T, preferred_element_type=f32,
+                               precision=prec)
             # a = v' N^{-1} Z = d @ Y  (Y = W'Z = YT')
             a = jnp.dot(d, YT.T, preferred_element_type=f32, precision=prec)
             # t = a (I + C G)^{-1}: the only per-problem matvec (K x K)
-            ts = []
-            for p in range(bt):
-                ts.append(jnp.dot(a[p][None, :], tinv_ref[p],
-                                  preferred_element_type=f32, precision=prec))
-            t = jnp.concatenate(ts, axis=0)
-            # h = t C  (C symmetric: rs*K1 + rss*D33); s=0 zeroes the whole
-            # correction regardless of tinv content
-            h = rs * jnp.dot(t, k1_ref[:, :], preferred_element_type=f32,
-                             precision=prec) + rss * (t * w33)
+            t = apply_tinv(a)
+            # h = t C  (C symmetric: rs*K1 + rss*D33 + ruu*D_UU); s=0 zeroes
+            # the whole correction regardless of tinv content; alpha=1
+            # zeroes the equilibration term exactly
+            h = (rs * jnp.dot(t, k1_ref[:, :], preferred_element_type=f32,
+                              precision=prec)
+                 + rss * (t * w33) + ruu * (t * wuu))
             e = jnp.dot(h, YT, preferred_element_type=f32, precision=prec)
             return jnp.dot((u - e) * dg, W.T, preferred_element_type=f32,
                            precision=prec)
@@ -257,6 +305,14 @@ def _eig_chunk_kernel(
             axis=1,
         )
 
+    @pl.when(alive_any & has_s)
+    def _debris_tile():
+        _compute(True)
+
+    @pl.when(alive_any & jnp.logical_not(has_s))
+    def _plain_tile():
+        _compute(False)
+
     @pl.when(jnp.logical_not(alive_any))
     def _passthrough():
         xo_ref[:, :] = x_ref[:, :]
@@ -266,7 +322,7 @@ def _eig_chunk_kernel(
 
 
 def eig_chunk(
-    tile_combo, tinv, scal, qbar, lbar, ubar, dg, x, y, z,
+    tile_group, tinv, scal, qbar, lbar, ubar, dg, x, y, z,
     Ast, Wst, YTst, pbar, K1, w33row, gsel_s, scat_s, rsel_s, gscat_s,
     rho_vec, einv, dinv,
     *,
@@ -280,13 +336,21 @@ def eig_chunk(
     precision: str = "highest",
     interpret=None,
     done=None,
+    apply: str = "loop",
+    wuu_row=None,
+    dmask=None,
 ):
     """Run ``n_iter`` fused ADMM iterations with the shared-basis solve.
 
-    tile_combo: (B//bt,) int32 — per-tile combo index (tiles must be
-    combo-pure; see ops.admm._solve_eig). Shapes: tinv (B,K,K); scal (B,8)
-    [rho_scale, s]; qbar/x/dg (B,nz); lbar/ubar/y/z (B,m); Ast (4,m,nz);
-    Wst (4,nz,nz); YTst (4,K,nz); the rest shared as in ADMMProblem.
+    tile_group: (B//bt,) int32 — per-tile group index, group = combo*2 +
+    debris_active (tiles must be group-pure; see ops.admm._solve_eig).
+    Debris-free tiles (group even) take a fast path that skips the whole
+    Woodbury correction and its tinv DMA. ``apply`` selects the per-problem
+    T^{-1} application strategy on debris tiles: 'loop' (bt batch-1 dots),
+    'vpu' (broadcast-multiply-reduce), 'blockdiag' (one block-diagonal MXU
+    matmul). Shapes: tinv (B,K,K); scal (B,8) [rho_scale, s]; qbar/x/dg
+    (B,nz); lbar/ubar/y/z (B,m); Ast (4,m,nz); Wst (4,nz,nz); YTst (4,K,nz);
+    the rest shared as in ADMMProblem.
     Returns (x, y, z, stats) with stats (B, 8) as in admm_pallas.admm_chunk.
     """
     if interpret is None:
@@ -314,24 +378,36 @@ def eig_chunk(
         pinf_margin=float(pinf_margin),
         bt=bt,
         prec=prec,
+        apply=apply,
     )
     uinf = (~jnp.isfinite(ubar)).astype(x.dtype)
     linf = (~jnp.isfinite(lbar)).astype(x.dtype)
     ucap = jnp.where(jnp.isfinite(ubar), ubar, 0.0)
     lcap = jnp.where(jnp.isfinite(lbar), lbar, 0.0)
+    if wuu_row is None:
+        wuu_row = jnp.zeros((1, K), dtype=x.dtype)
+    if dmask is None:
+        dmask = jnp.zeros((1, m), dtype=x.dtype)
     tile = lambda *shape: pl.BlockSpec(
         shape, lambda i, c: (i,) + (0,) * (len(shape) - 1),
         memory_space=pltpu.VMEM)
     combo = lambda *shape: pl.BlockSpec(
-        shape, lambda i, c: (c[i],) + (0,) * (len(shape) - 1),
+        shape, lambda i, c: (c[i] // 2,) + (0,) * (len(shape) - 1),
         memory_space=pltpu.VMEM)
     shared = lambda *shape: pl.BlockSpec(
         shape, lambda i, c: (0,) * len(shape), memory_space=pltpu.VMEM)
+    # debris-free tiles never read tinv: map them all to block 0 so
+    # consecutive such tiles share the fetch instead of streaming
+    # (bt, K, K) per tile
+    tinv_spec = pl.BlockSpec(
+        (bt, K, K),
+        lambda i, c: (jnp.where(c[i] % 2 == 1, i, 0), 0, 0),
+        memory_space=pltpu.VMEM)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(B // bt,),
         in_specs=[
-            tile(bt, K, K),  # tinv
+            tinv_spec,  # tinv
             tile(bt, 8),  # scal
             tile(bt, nz),  # qbar
             tile(bt, m),  # lbar
@@ -358,6 +434,8 @@ def eig_chunk(
             shared(1, m),  # rho_vec
             shared(1, m),  # einv
             shared(1, nz),  # dinv
+            shared(1, K),  # wuu
+            shared(1, m),  # dmask
         ],
         out_specs=(
             tile(bt, nz),
@@ -377,10 +455,11 @@ def eig_chunk(
         ),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(tile_combo, tinv, scal, qbar, lbar, ubar, dg, x, y, z,
+    )(tile_group, tinv, scal, qbar, lbar, ubar, dg, x, y, z,
       uinf, linf, ucap, lcap, done8,
       Ast, Wst, YTst, pbar, K1, w33row, gsel_s, scat_s, rsel_s, gscat_s,
-      rho_vec.reshape(1, -1), einv.reshape(1, -1), dinv.reshape(1, -1))
+      rho_vec.reshape(1, -1), einv.reshape(1, -1), dinv.reshape(1, -1),
+      wuu_row, dmask)
     return out
 
 
@@ -390,7 +469,7 @@ def eig_chunk(
 
 def tinv_refresh(combo_row, scal, dg, X_prev, need, YTst, w33col,
                  *, n_iter: int, cold: bool, bt: int = 32,
-                 precision: str = "highest", interpret=None):
+                 precision: str = "highest", interpret=None, wuucol=None):
     """Masked per-problem refresh of T^{-1}; rows with need=False pass
     through (residual reads 0). ``combo_row`` is the PER-ROW combo index
     (the caller may pass any row subset — per-row math is independent, which
@@ -420,14 +499,22 @@ def tinv_refresh(combo_row, scal, dg, X_prev, need, YTst, w33col,
     mm = functools.partial(jnp.matmul, precision=prec,
                            preferred_element_type=dt)
     YTg = YTst[combo_row]  # (B, K, nz)
-    # T_b = I + r*s*(K1 @ G_b) + r*s^2*(D33 @ G_b)
-    #   G_b = Y' diag(dg_b) Y;  K1 @ G = block-row swap; D33 @ G = w33 rows
-    rs = (scal[:, 0] * scal[:, 1])[:, None, None]
-    rss = (scal[:, 0] * scal[:, 1] ** 2)[:, None, None]
+    # T_b = I + r*al^2*s*(K1 @ G_b) + r*al^2*s^2*(D33 @ G_b)
+    #       + r*(al^2-1)*(D_UU @ G_b)
+    #   G_b = Y' diag(dg_b) Y;  K1 @ G = block-row swap; D33/D_UU @ G =
+    #   w33/wuu rows; al (scal col 2, 0 treated as 1) is the per-problem
+    #   debris-row equilibration (see _eig_chunk_kernel)
+    al = jnp.where(scal[:, 2] == 0.0, 1.0, scal[:, 2])
+    alsq = (al * al)[:, None, None]
+    rs = (scal[:, 0] * scal[:, 1])[:, None, None] * alsq
+    rss = (scal[:, 0] * scal[:, 1] ** 2)[:, None, None] * alsq
+    ruu = scal[:, 0][:, None, None] * (alsq - 1.0)
     G = mm(YTg * dg[:, None, :], jnp.swapaxes(YTg, 1, 2))
     Gsw = jnp.concatenate([G[:, half:], G[:, :half]], axis=1)
     I = jnp.eye(K, dtype=dt)
     T = I[None] + rs * Gsw + rss * (w33col[None] * G)
+    if wuucol is not None:
+        T = T + ruu * (wuucol[None] * G)
 
     if cold:
         n1 = jnp.max(jnp.sum(jnp.abs(T), axis=1), axis=1)
@@ -448,7 +535,7 @@ def tinv_refresh(combo_row, scal, dg, X_prev, need, YTst, w33col,
 def tinv_safe_refresh(combo_row, scal, dg, X_prev, need, YTst, w33col,
                       *, warm_iters: int, cold_iters: int,
                       bt: int = 32, precision: str = "highest",
-                      interpret=None):
+                      interpret=None, wuucol=None):
     """Warm refresh with overflow-recovering cold restarts (same blend-NaN
     rationale as admm_pallas.masked_safe_refresh: bad rows are zeroed in XLA
     before the cold retry so 0*inf never poisons the blend).
@@ -456,13 +543,15 @@ def tinv_safe_refresh(combo_row, scal, dg, X_prev, need, YTst, w33col,
     ``combo_row`` is per-row (see tinv_refresh); any row subset is valid."""
     Xw, r = tinv_refresh(combo_row, scal, dg, X_prev, need, YTst, w33col,
                          n_iter=warm_iters, cold=False, bt=bt,
-                         precision=precision, interpret=interpret)
+                         precision=precision, interpret=interpret,
+                         wuucol=wuucol)
     bad = need & ((r > 1e-2) | ~jnp.isfinite(r))
     Xw = jnp.where(bad[:, None, None], 0.0, Xw)
 
     def cold():
         return tinv_refresh(combo_row, scal, dg, Xw, bad, YTst, w33col,
                             n_iter=cold_iters, cold=True, bt=bt,
-                            precision=precision, interpret=interpret)[0]
+                            precision=precision, interpret=interpret,
+                            wuucol=wuucol)[0]
 
     return jax.lax.cond(jnp.any(bad), cold, lambda: Xw)

@@ -521,11 +521,16 @@ def _step(engine: DiscreteEngine, carry: _Carry, step_in,
         jnp.where(alive, res.status, -1),
         res.iters,
         jnp.where(alive, res.done_iters, 0),
-        jnp.where(alive, jnp.where(res.pri_tol > 0,
-                                   res.pri_res / res.pri_tol, res.pri_res),
+        # res/tol RATIO when the solver reports a usable tolerance
+        # (converged <= 1); raw residual fallback otherwise. Guard against
+        # non-finite tols: inf/inf = NaN poisoned the round-3 diagnostics.
+        jnp.where(alive,
+                  jnp.where((res.pri_tol > 0) & jnp.isfinite(res.pri_tol),
+                            res.pri_res / res.pri_tol, res.pri_res),
                   0.0),
-        jnp.where(alive, jnp.where(res.dua_tol > 0,
-                                   res.dua_res / res.dua_tol, res.dua_res),
+        jnp.where(alive,
+                  jnp.where((res.dua_tol > 0) & jnp.isfinite(res.dua_tol),
+                            res.dua_res / res.dua_tol, res.dua_res),
                   0.0),
     )
     return new_carry, out

@@ -20,8 +20,7 @@ from mpc_arpo_project_tpu.ops.qp_builder import QPDims, build_qp
 from tools.ref_sim import discretize_np, synth_gains_np
 
 
-@pytest.fixture(scope="module")
-def setup():
+def _build_setup():
     v_ecr = 50000.0 * np.ones(5)
     v_ecr[-2] *= -1
     v_ecr[-1] = 0.0
@@ -68,6 +67,11 @@ def setup():
     uB = jnp.tile(u[None], (B, 1))
     return dict(prob=prob, dims=dims, coeffs=(c1, c2, s), l=lB, u=uB, B=B,
                 static=static, st_e=st_e)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    return _build_setup()
 
 
 def test_eig_factorization_exact(setup):
@@ -258,49 +262,6 @@ def test_tinv_refresh_masked(setup):
         T = np.eye(K) + rs * (K1 @ G2) + rss * (np.diag(w33) @ G2)
         err = np.abs(T @ np.asarray(X[i]) - np.eye(K)).max()
         assert err < 1e-8, (i, err)
-
-
-def test_eig_mode_full_rollout_matches_chol():
-    """End-to-end closed-loop rollout with solve_mode='eig' must match the
-    chol-mode rollout macroscopically (same bands as the pallas-mode test:
-    rho-trigger flips can change individual solver decisions)."""
-    from mpc_arpo_project_tpu.config import Noise
-    from mpc_arpo_project_tpu.rollout import discrete
-
-    v_ecr = 50000.0 * np.ones(5)
-    v_ecr[-2] *= -1
-    v_ecr[-1] = 0.0
-    mpc = MPCParams(
-        8e2 * np.diag([0.2**2, 10**2, 3.8**2, 900.0]), 1000**2 * np.eye(2),
-        5**2 * np.eye(5), v_ecr, {"Nx": 40, "Nc": 5, "Nb": 5}, (0.2, 0.2),
-    )
-    fail = FailsafeParams(
-        0.005 * np.diag([0.0001, 1, 100000.0, 1.0, 0.01]), 100 * np.eye(2),
-        np.eye(1, 4), np.zeros((2, 2)),
-    )
-    debris = Debris((40.0, 0.0), 5.0, 20.0)
-    sim = SimConditions(
-        np.array([100.0, 10.0, 0.0, 0.0]), np.array([2.5, 0.0, 0.0, 0.0]), 2.5,
-        10 * np.pi / 180, 1.5, 1.107e-3, 0.5, True, (0.2, 45.0),
-        Noise((0.3, 0.3), 10), False, T_final=15.0,
-    )
-    outs = {}
-    for mode in ("chol", "eig"):
-        st = admm.ADMMSettings(max_iter=500, solve_mode=mode, pallas_tile=4)
-        eng = discrete.build_engine(sim, mpc, fail, debris, settings=st,
-                                    dtype=jnp.float64)
-        rng = np.random.RandomState(9)
-        draws = rng.normal(size=(eng.nsim // eng.noise_rep + 2, 2, 4))
-        noise = discrete.noise_sequence_from_draws(eng, draws)
-        outs[mode] = jax.tree.map(
-            np.asarray, jax.jit(discrete.rollout)(eng, noise)
-        )
-    a, b = outs["chol"], outs["eig"]
-    np.testing.assert_array_equal(a.i_term, b.i_term)
-    np.testing.assert_array_equal(a.success, b.success)
-    mismatch = np.mean(a.ctrl_seq != b.ctrl_seq)
-    assert mismatch < 0.15, f"controller-code mismatch fraction {mismatch}"
-    np.testing.assert_allclose(a.x_true, b.x_true, atol=3.0)
 
 
 def test_eig_compaction_invariance(setup):

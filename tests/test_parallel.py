@@ -24,7 +24,7 @@ def _small_engine(T_final=20.0):
     return _ENGINE_CACHE[T_final]
 
 
-def _build_small_engine(T_final):
+def _build_small_engine(T_final, settings=None):
     v_ecr = 50000.0 * np.ones(5)
     v_ecr[-2] *= -1
     v_ecr[-1] = 0.0
@@ -59,9 +59,43 @@ def _build_small_engine(T_final):
     )
     # mild noise + capped max_iter keep CPU runtime sane; MAX_ITER still
     # exercises the failsafe path exactly like exhausting 4000 would
-    settings = admm.ADMMSettings(max_iter=500)
+    if settings is None:
+        settings = admm.ADMMSettings(max_iter=500)
     return discrete.build_engine(sim, mpc_p, fail, debris, settings=settings,
                                  dtype=jnp.float64)
+
+
+def test_sharded_eig_rollout_matches_single_device():
+    """VERDICT r3 #5: the PRODUCTION eig solve path — slot sort, alive-first
+    packing, mid-solve compaction permutations, scalar-prefetch tile grid,
+    capacity-compacted Woodbury refresh — under a sharded mesh must produce
+    the same rollout as the single-device run. Rollouts are per-scenario
+    independent (no cross-batch reductions), so outputs must match exactly
+    up to collective-free fp64 arithmetic."""
+    assert jax.device_count() >= 8
+    engine = _build_small_engine(20.0, settings=admm.ADMMSettings(
+        solve_mode="eig", max_iter=500, stall_exit_chunks=12,
+        stall_tighten_chunks=24, pallas_tile=4))
+    B = 16
+    noise_seq = discrete.make_noise_sequence(engine, jax.random.key(3), B)
+    out_local = jax.tree.map(
+        np.asarray, jax.jit(discrete.rollout)(engine, noise_seq))
+
+    mesh = mesh_lib.make_mesh()
+    noise_sh = mesh_lib.batch_sharding(mesh, batch_axis=1)
+    repl = mesh_lib.replicated(mesh)
+    eng_sh = jax.tree.map(lambda _: repl, engine)
+    f = jax.jit(discrete.rollout, in_shardings=(eng_sh, noise_sh),
+                out_shardings=repl)
+    out_sh = jax.tree.map(np.asarray, f(engine, noise_seq))
+
+    np.testing.assert_array_equal(out_local.status, out_sh.status)
+    np.testing.assert_array_equal(out_local.ctrl_seq, out_sh.ctrl_seq)
+    np.testing.assert_array_equal(out_local.i_term, out_sh.i_term)
+    np.testing.assert_array_equal(out_local.success, out_sh.success)
+    np.testing.assert_array_equal(out_local.done_iters, out_sh.done_iters)
+    np.testing.assert_allclose(out_local.x_true, out_sh.x_true,
+                               rtol=0, atol=1e-12)
 
 
 def test_sharded_stats_match_unsharded():

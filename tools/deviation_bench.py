@@ -26,7 +26,7 @@ import numpy as np
 
 def main(argv=None):
     ap = argparse.ArgumentParser()
-    ap.add_argument("--mode", default="chol", choices=["chol", "pallas"])
+    ap.add_argument("--mode", default="chol", choices=["chol", "pallas", "eig"])
     ap.add_argument("--steps", type=int, default=60)
     ap.add_argument("--dtype", default="f64", choices=["f32", "f64"])
     ap.add_argument("--accurate", action="store_true",
@@ -118,7 +118,7 @@ def main(argv=None):
     )
     prob = admm.prepare_problem(
         static, dims, settings, nominal_coeffs=(c1_0, c2_0, -s0), dtype=dtype,
-        pad=(args.mode == "pallas"),
+        pad=(args.mode in ("pallas", "eig")),
     )
     state = admm.init_state(prob, 1, settings)
 

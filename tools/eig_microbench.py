@@ -35,6 +35,11 @@ def main():
                     help="chunks per jit call (amortizes ~25 ms dispatch)")
     ap.add_argument("--precision", default="highest",
                     choices=("highest", "high", "default"))
+    ap.add_argument("--apply", default="loop",
+                    choices=("loop", "vpu", "blockdiag"),
+                    help="per-problem tinv application strategy")
+    ap.add_argument("--plain", action="store_true",
+                    help="bench debris-FREE tiles (Woodbury fast path)")
     args = ap.parse_args()
 
     import jax
@@ -94,7 +99,10 @@ def main():
         if B % bt:
             continue
         n_tiles = B // bt
-        tile_combo = (jnp.arange(n_tiles, dtype=jnp.int32) * 4) // n_tiles
+        # group = combo*2 + debris_active; default measures debris tiles
+        # (full Woodbury path), --plain the fast path
+        tile_combo = ((jnp.arange(n_tiles, dtype=jnp.int32) * 4) // n_tiles
+                      ) * 2 + (0 if args.plain else 1)
         n_done_tiles = int(n_tiles * args.done_frac)
         done = (jnp.arange(B) // bt) < n_done_tiles
         n_act = B - n_done_tiles * bt
@@ -110,7 +118,7 @@ def main():
                     n_iter=args.iters, sigma=1e-6, alpha=1.6,
                     eps_pinf=1e-4, eps_dinf=1e-4, pinf_margin=1.0,
                     bt=_bt, precision=args.precision, interpret=False,
-                    done=_done)
+                    done=_done, apply=args.apply)
                 return x, y, z
             x, y, z = jax.lax.fori_loop(0, L, body, (x, y, z))
             return x[0, 0]

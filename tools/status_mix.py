@@ -141,10 +141,13 @@ def run_rollout_arm(name, sim, mpc, fail, debris, draws, *, solve_mode,
         mi_by_dec.append(
             round(float((sel == 2).mean()), 4) if sel.size else None)
     # Exit-residual distribution of MAX_ITER steps: discriminates an fp32
-    # noise floor sitting JUST above the 1e-3 tolerance (plateau at ~1-3e-3)
-    # from genuinely divergent/infeasible-adjacent plateaus (>>1e-2). The
-    # residuals are the solver's scaled OSQP residuals at exit (eps_abs =
-    # eps_rel = 1e-3 acceptance: max(rp, rd) vs ~1e-3 + 1e-3*rel).
+    # noise floor sitting JUST above tolerance from genuinely divergent /
+    # infeasible-adjacent plateaus. UNITS: for the eig and chol arms
+    # discrete.py reports res/tol RATIOS (converged <= 1, plateau ~1-3,
+    # divergent >> 1); only solve paths that don't report pri_tol/dua_tol
+    # (pallas) fall back to raw scaled residuals. Non-finite exits (the
+    # eig nan-reset marks overflowed rows with inf) are filtered from the
+    # percentiles and counted separately so the JSON stays strict-valid.
     res_q = {}
     rp = np.asarray(out.pri_res)
     rd = np.asarray(out.dua_res)
@@ -152,8 +155,14 @@ def run_rollout_arm(name, sim, mpc, fail, debris, draws, *, solve_mode,
         m = (st == code)
         if m.any():
             worst = np.maximum(rp[m], rd[m])
-            res_q[nm] = [round(float(v), 6) for v in
-                         np.percentile(worst, [10, 50, 90, 99])]
+            fin = worst[np.isfinite(worst)]
+            res_q[nm] = {
+                "pctiles_10_50_90_99": [round(float(v), 6) for v in
+                                        np.percentile(fin, [10, 50, 90, 99])]
+                if fin.size else None,
+                "n_nonfinite": int(worst.size - fin.size),
+                "n": int(worst.size),
+            }
     return {
         "arm": name,
         "solve_mode": solve_mode,
@@ -165,7 +174,7 @@ def run_rollout_arm(name, sim, mpc, fail, debris, draws, *, solve_mode,
         "mix": {STATUS_NAME[k]: round(v / max(alive, 1), 4)
                 for k, v in codes.items()},
         "max_iter_frac_by_lifetime_decile": mi_by_dec,
-        "exit_residual_pctiles_10_50_90_99": res_q,
+        "exit_residuals_over_tol": res_q,
         "counts": {STATUS_NAME[k]: v for k, v in codes.items()},
         "success_rate": float(np.asarray(out.success).mean()),
         "n_success": int(np.asarray(out.success).sum()),
