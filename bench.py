@@ -120,6 +120,8 @@ def main():
         eig_refresh_cap_div=int(os.environ.get("BENCH_REFRESH_DIV", "32")),
         eig_apply=os.environ.get("BENCH_APPLY", "loop"),
         eig_deb_equil_smax=float(os.environ.get("BENCH_SMAX", "32")),
+        eig_warm_iters=int(os.environ.get("BENCH_WARM_ITERS", "3")),
+        eig_cold_iters=int(os.environ.get("BENCH_COLD_ITERS", "30")),
         eig_compact_chunks=tuple(
             int(v) for v in os.environ.get(
                 "BENCH_COMPACT", "2,4,8,16,24").split(",") if v),

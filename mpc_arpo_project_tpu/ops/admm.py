@@ -1276,32 +1276,29 @@ def _solve_eig(prob, coeffs, lbar, ubar, state, settings, qbar, active):
     # order makes early-chunk cost scale with the alive count instead.
     # A pure permutation: per-problem kernel math is row-independent, so
     # results are bit-identical regardless of slot placement.
-    # group = combo*2 + debris_active: group-pure tiles let the kernel skip
-    # the whole Woodbury correction (and its tinv DMA) on debris-free tiles
-    group = combo * 2 + (s != 0.0).astype(jnp.int32)
-    n_groups = 8
+    n_groups = 4
     n_slots = B + n_groups * bt
-    oh = (group[:, None] == jnp.arange(n_groups, dtype=jnp.int32)[None, :]
+    oh = (combo[:, None] == jnp.arange(n_groups, dtype=jnp.int32)[None, :]
           ).astype(jnp.int32)
     counts = oh.sum(axis=0)
     padded = ((counts + bt - 1) // bt) * bt
     bounds = jnp.cumsum(padded)
     goff = bounds - padded
     cstart = jnp.cumsum(counts) - counts
-    key = (group * (2 * B) + (~active).astype(jnp.int32) * B
+    key = (combo * (2 * B) + (~active).astype(jnp.int32) * B
            + jnp.arange(B, dtype=jnp.int32))
-    perm = jnp.argsort(key)  # group-major, alive-first, batch-order stable
-    group_sorted = group[perm]
+    perm = jnp.argsort(key)  # combo-major, alive-first, batch-order stable
+    combo_sorted = combo[perm]
     slot = jnp.zeros((B,), jnp.int32).at[perm].set(
-        goff[group_sorted] + jnp.arange(B, dtype=jnp.int32)
-        - cstart[group_sorted])  # (B,) unique slots
+        goff[combo_sorted] + jnp.arange(B, dtype=jnp.int32)
+        - cstart[combo_sorted])  # (B,) unique slots
     src = jnp.full((n_slots,), B, jnp.int32).at[slot].set(
         jnp.arange(B, dtype=jnp.int32))
     dummy = src >= B
     srcc = jnp.clip(src, 0, B - 1)
     n_tiles = n_slots // bt
     tpos = jnp.arange(n_tiles, dtype=jnp.int32) * bt
-    tile_group = (tpos[:, None] >= bounds[None, :n_groups - 1]).sum(
+    tile_combo = (tpos[:, None] >= bounds[None, :n_groups - 1]).sum(
         axis=1).astype(jnp.int32)
 
     gat = lambda a: a[srcc]
@@ -1383,7 +1380,8 @@ def _solve_eig(prob, coeffs, lbar, ubar, state, settings, qbar, active):
             prob.eig_w33col, warm_iters=settings.eig_warm_iters,
             cold_iters=settings.eig_cold_iters, bt=bt,
             precision=settings.eig_refresh_precision,
-            wuucol=prob.eig_wuucol)
+            wuucol=prob.eig_wuucol,
+            cold_cap=(max(2 * bt, cap) if cap_div > 1 else 0))
 
     def refresh(sd, tv, r, mask):
         combo_r = ((sd["c1s"] > 0).astype(jnp.int32) * 2
@@ -1432,7 +1430,7 @@ def _solve_eig(prob, coeffs, lbar, ubar, state, settings, qbar, active):
             done_in = done
             nc = chunk + mult
             x_n, y_n, z_n, stats = admm_eig.eig_chunk(
-                tile_group, tinv, scal_of(sd, rho_scale), sd["qb"], sd["lb"],
+                tile_combo, tinv, scal_of(sd, rho_scale), sd["qb"], sd["lb"],
                 sd["ub"], dg_of(sd, rho_scale), x, y, z,
                 prob.eig_A, prob.eig_W, prob.eig_YT, prob.Pbar, prob.eig_K1,
                 prob.eig_w33row, gsel_s, scat_s, rsel_s, gscat_s,

@@ -73,8 +73,7 @@ def _interpret_default() -> bool:
 # ---------------------------------------------------------------------------
 
 def _eig_chunk_kernel(
-    group_ref,  # scalar-prefetch: (n_tiles,) int32 per-tile group
-    #            (group = combo*2 + debris_active; tiles are group-pure)
+    combo_ref,  # scalar-prefetch: (n_tiles,) int32 per-tile combo
     # per-tile inputs
     tinv_ref,  # (BT, K, K) per-problem (I + C G)^{-T}-free inverse: X ~ T^{-1}
     scal_ref,  # (BT, 8)  [r, s, ...]
@@ -122,14 +121,10 @@ def _eig_chunk_kernel(
     bt: int,
     prec,
     apply: str,
+    with_s: bool,
 ):
     f32 = x_ref.dtype
     alive_any = jnp.max(1.0 - done_ref[:, :]) > 0.5
-    # group = combo*2 + debris_active (tiles are group-pure): debris-free
-    # tiles skip the whole Woodbury correction — no per-problem T^{-1}
-    # apply, no s-gather dots — which is the common case away from the
-    # debris detection window
-    has_s = group_ref[pl.program_id(0)] % 2 == 1
 
     def _compute(with_s: bool):
         r = scal_ref[:, 0][:, None]  # (BT, 1)
@@ -305,13 +300,16 @@ def _eig_chunk_kernel(
             axis=1,
         )
 
-    @pl.when(alive_any & has_s)
-    def _debris_tile():
-        _compute(True)
-
-    @pl.when(alive_any & jnp.logical_not(has_s))
-    def _plain_tile():
-        _compute(False)
+    # ONE statically-selected branch: a dual-branch pl.when kernel (round-4
+    # experiment, splitting tiles by debris activity) ballooned the Mosaic
+    # compile from ~90 s to ~20 min at B=1024 — and bought nothing, because
+    # every problem of a debris-geometry config carries s != 0 every step
+    # (the reference recomputes the slope into A whether or not the
+    # constraint is ACTIVE, `simhelpers.py:83-108`). ``with_s`` is a trace-
+    # time flag for genuinely debris-free scenario families.
+    @pl.when(alive_any)
+    def _go():
+        _compute(with_s)
 
     @pl.when(jnp.logical_not(alive_any))
     def _passthrough():
@@ -322,7 +320,7 @@ def _eig_chunk_kernel(
 
 
 def eig_chunk(
-    tile_group, tinv, scal, qbar, lbar, ubar, dg, x, y, z,
+    tile_combo, tinv, scal, qbar, lbar, ubar, dg, x, y, z,
     Ast, Wst, YTst, pbar, K1, w33row, gsel_s, scat_s, rsel_s, gscat_s,
     rho_vec, einv, dinv,
     *,
@@ -339,18 +337,19 @@ def eig_chunk(
     apply: str = "loop",
     wuu_row=None,
     dmask=None,
+    with_s: bool = True,
 ):
     """Run ``n_iter`` fused ADMM iterations with the shared-basis solve.
 
-    tile_group: (B//bt,) int32 — per-tile group index, group = combo*2 +
-    debris_active (tiles must be group-pure; see ops.admm._solve_eig).
-    Debris-free tiles (group even) take a fast path that skips the whole
-    Woodbury correction and its tinv DMA. ``apply`` selects the per-problem
-    T^{-1} application strategy on debris tiles: 'loop' (bt batch-1 dots),
-    'vpu' (broadcast-multiply-reduce), 'blockdiag' (one block-diagonal MXU
-    matmul). Shapes: tinv (B,K,K); scal (B,8) [rho_scale, s]; qbar/x/dg
-    (B,nz); lbar/ubar/y/z (B,m); Ast (4,m,nz); Wst (4,nz,nz); YTst (4,K,nz);
-    the rest shared as in ADMMProblem.
+    tile_combo: (B//bt,) int32 — per-tile combo index (tiles must be
+    combo-pure; see ops.admm._solve_eig). ``apply`` selects the per-problem
+    T^{-1} application strategy: 'loop' (bt batch-1 dots), 'vpu'
+    (broadcast-multiply-reduce), 'blockdiag' (one block-diagonal MXU
+    matmul). ``with_s=False`` compiles a Woodbury-free kernel for
+    debris-free scenario families (trace-time flag — see the branch note in
+    the kernel). Shapes: tinv (B,K,K); scal (B,8) [rho_scale, s, alpha];
+    qbar/x/dg (B,nz); lbar/ubar/y/z (B,m); Ast (4,m,nz); Wst (4,nz,nz);
+    YTst (4,K,nz); the rest shared as in ADMMProblem.
     Returns (x, y, z, stats) with stats (B, 8) as in admm_pallas.admm_chunk.
     """
     if interpret is None:
@@ -379,6 +378,7 @@ def eig_chunk(
         bt=bt,
         prec=prec,
         apply=apply,
+        with_s=with_s,
     )
     uinf = (~jnp.isfinite(ubar)).astype(x.dtype)
     linf = (~jnp.isfinite(lbar)).astype(x.dtype)
@@ -392,22 +392,15 @@ def eig_chunk(
         shape, lambda i, c: (i,) + (0,) * (len(shape) - 1),
         memory_space=pltpu.VMEM)
     combo = lambda *shape: pl.BlockSpec(
-        shape, lambda i, c: (c[i] // 2,) + (0,) * (len(shape) - 1),
+        shape, lambda i, c: (c[i],) + (0,) * (len(shape) - 1),
         memory_space=pltpu.VMEM)
     shared = lambda *shape: pl.BlockSpec(
         shape, lambda i, c: (0,) * len(shape), memory_space=pltpu.VMEM)
-    # debris-free tiles never read tinv: map them all to block 0 so
-    # consecutive such tiles share the fetch instead of streaming
-    # (bt, K, K) per tile
-    tinv_spec = pl.BlockSpec(
-        (bt, K, K),
-        lambda i, c: (jnp.where(c[i] % 2 == 1, i, 0), 0, 0),
-        memory_space=pltpu.VMEM)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(B // bt,),
         in_specs=[
-            tinv_spec,  # tinv
+            tile(bt, K, K),  # tinv
             tile(bt, 8),  # scal
             tile(bt, nz),  # qbar
             tile(bt, m),  # lbar
@@ -455,7 +448,7 @@ def eig_chunk(
         ),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(tile_group, tinv, scal, qbar, lbar, ubar, dg, x, y, z,
+    )(tile_combo, tinv, scal, qbar, lbar, ubar, dg, x, y, z,
       uinf, linf, ucap, lcap, done8,
       Ast, Wst, YTst, pbar, K1, w33row, gsel_s, scat_s, rsel_s, gscat_s,
       rho_vec.reshape(1, -1), einv.reshape(1, -1), dinv.reshape(1, -1),
@@ -535,12 +528,17 @@ def tinv_refresh(combo_row, scal, dg, X_prev, need, YTst, w33col,
 def tinv_safe_refresh(combo_row, scal, dg, X_prev, need, YTst, w33col,
                       *, warm_iters: int, cold_iters: int,
                       bt: int = 32, precision: str = "highest",
-                      interpret=None, wuucol=None):
+                      interpret=None, wuucol=None, cold_cap: int = 0):
     """Warm refresh with overflow-recovering cold restarts (same blend-NaN
     rationale as admm_pallas.masked_safe_refresh: bad rows are zeroed in XLA
     before the cold retry so 0*inf never poisons the blend).
 
-    ``combo_row`` is per-row (see tinv_refresh); any row subset is valid."""
+    ``combo_row`` is per-row (see tinv_refresh); any row subset is valid.
+    ``cold_cap`` > 0 compacts the cold retry to that many bad-first rows
+    (bit-identical to the full-width retry — per-row math is independent;
+    falls back to full width when more rows are bad): the round-4 TPU trace
+    showed the cold cond at ~25 ms/step at B=1024 because ONE bad row paid
+    ``cold_iters`` full-width NS iterations."""
     Xw, r = tinv_refresh(combo_row, scal, dg, X_prev, need, YTst, w33col,
                          n_iter=warm_iters, cold=False, bt=bt,
                          precision=precision, interpret=interpret,
@@ -548,10 +546,26 @@ def tinv_safe_refresh(combo_row, scal, dg, X_prev, need, YTst, w33col,
     bad = need & ((r > 1e-2) | ~jnp.isfinite(r))
     Xw = jnp.where(bad[:, None, None], 0.0, Xw)
 
-    def cold():
-        return tinv_refresh(combo_row, scal, dg, Xw, bad, YTst, w33col,
+    def cold_rows(cr, sc, dgr, xr, br):
+        return tinv_refresh(cr, sc, dgr, xr, br, YTst, w33col,
                             n_iter=cold_iters, cold=True, bt=bt,
                             precision=precision, interpret=interpret,
                             wuucol=wuucol)[0]
+
+    def cold():
+        n = combo_row.shape[0]
+        if cold_cap <= 0 or cold_cap >= n:
+            return cold_rows(combo_row, scal, dg, Xw, bad)
+
+        def compact():
+            idx = jnp.argsort(~bad, stable=True)[:cold_cap]
+            sub = cold_rows(combo_row[idx], scal[idx], dg[idx], Xw[idx],
+                            bad[idx])
+            return Xw.at[idx].set(sub)
+
+        def full():
+            return cold_rows(combo_row, scal, dg, Xw, bad)
+
+        return jax.lax.cond(jnp.sum(bad) <= cold_cap, compact, full)
 
     return jax.lax.cond(jnp.any(bad), cold, lambda: Xw)

@@ -39,7 +39,7 @@ def main():
                     choices=("loop", "vpu", "blockdiag"),
                     help="per-problem tinv application strategy")
     ap.add_argument("--plain", action="store_true",
-                    help="bench debris-FREE tiles (Woodbury fast path)")
+                    help="bench the Woodbury-free kernel (with_s=False)")
     args = ap.parse_args()
 
     import jax
@@ -99,10 +99,7 @@ def main():
         if B % bt:
             continue
         n_tiles = B // bt
-        # group = combo*2 + debris_active; default measures debris tiles
-        # (full Woodbury path), --plain the fast path
-        tile_combo = ((jnp.arange(n_tiles, dtype=jnp.int32) * 4) // n_tiles
-                      ) * 2 + (0 if args.plain else 1)
+        tile_combo = (jnp.arange(n_tiles, dtype=jnp.int32) * 4) // n_tiles
         n_done_tiles = int(n_tiles * args.done_frac)
         done = (jnp.arange(B) // bt) < n_done_tiles
         n_act = B - n_done_tiles * bt
@@ -118,7 +115,8 @@ def main():
                     n_iter=args.iters, sigma=1e-6, alpha=1.6,
                     eps_pinf=1e-4, eps_dinf=1e-4, pinf_margin=1.0,
                     bt=_bt, precision=args.precision, interpret=False,
-                    done=_done, apply=args.apply)
+                    done=_done, apply=args.apply,
+                    with_s=not args.plain)
                 return x, y, z
             x, y, z = jax.lax.fori_loop(0, L, body, (x, y, z))
             return x[0, 0]

@@ -28,4 +28,10 @@ run_bench r4_vpu BENCH_APPLY=vpu
 run_bench r4_blockdiag BENCH_APPLY=blockdiag
 # 4. bt=64 with the best apply (re-test: round-3 lost end-to-end at bt=64)
 run_bench r4_vpu_bt64 BENCH_APPLY=vpu BENCH_TILE=64
+# 5. fixed-cost decomposition: cap the solve at N iterations; the wall-time
+#    intercept vs chunk count separates fixed per-step cost from chunk cost
+run_bench r4_cap25 BENCH_MAX_ITER=25
+run_bench r4_cap100 BENCH_MAX_ITER=100
+run_bench r4_cap25_nocompact BENCH_MAX_ITER=25 BENCH_COMPACT=
+run_bench r4_cap25_norefresh BENCH_MAX_ITER=25 BENCH_REFRESH_DIV=1
 echo "=== sweep done $(date) ==="
