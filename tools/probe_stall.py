@@ -76,9 +76,9 @@ def dump(path, runs=128, seed=20260818):
     rng = np.random.RandomState(seed)
     draws = rng.normal(0.0, 1.0, size=(n_draws, runs, 4))
     noise = discrete.noise_sequence_from_draws(eng, draws)
-    out = discrete.rollout_chunked(eng, noise, seg=10)
+    seg = int(os.environ.get("PROBE_SEG", "10"))
+    out = discrete.rollout_chunked(eng, noise, seg=seg)
     st = np.asarray(out.status)  # (T, B)
-    rp = np.asarray(out.pri_res)
     i_term = np.asarray(out.i_term)
     succ = np.asarray(out.success)
     mi_t, mi_b = np.nonzero(st == 2)
@@ -86,39 +86,39 @@ def dump(path, runs=128, seed=20260818):
     if not len(mi_t):
         print("nothing to probe")
         return
-    # choose the latest-in-life failing step of a scenario that FAILED to dock
-    life_frac = mi_t / np.maximum(i_term[mi_b], 1)
-    pick = np.argsort(-life_frac)
-    # capture up to 8 distinct scenarios' failing steps
-    chosen = []
-    seen = set()
-    for idx in pick:
-        b = int(mi_b[idx])
-        if b in seen or succ[b]:
-            continue
-        seen.add(b)
-        chosen.append((int(mi_t[idx]), b))
-        if len(chosen) >= 8:
-            break
+    # choose, per non-docking scenario, the latest SEGMENT-BOUNDARY step
+    # with MAX_ITER status: the carry entering that step is exposed by the
+    # progress callback of the SAME compiled segment program, so the capture
+    # is bit-exact (a per-step-jit replay recompiles and chaotically
+    # diverges from the recorded trajectory — measured: it fabricated NaN
+    # estimates the real rollout never had)
+    boundary = (mi_t % seg == 0)
+    chosen = {}
+    pick_late = os.environ.get("PROBE_LATE") == "1"
+    for t, b in zip(mi_t[boundary], mi_b[boundary]):
+        b = int(b)
+        if not succ[b]:
+            prev = chosen.get(b, None)
+            t = int(t)
+            if prev is None:
+                chosen[b] = t
+            else:
+                chosen[b] = max(prev, t) if pick_late else min(prev, t)
+    chosen = sorted(chosen.items(), key=lambda kv: kv[1])[:8]
+    chosen = [(t, b) for b, t in chosen]
     print("chosen (step, scenario):", chosen)
-    t_cap = min(t for t, _ in chosen)
-    # replay the deterministic step loop to each capture point; capture the
-    # carry JUST BEFORE the failing step for every chosen scenario
-    carry = discrete._init_carry(eng, runs,
-                                 jnp.broadcast_to(eng.x0, (runs, 4)))
-    step = jax.jit(lambda c, si: discrete._step(eng, c, si)[0])
+
     caps = {}
-    for i in range(max(t for t, _ in chosen)):
-        for (t, b) in chosen:
-            if i == t:
-                caps[b] = jax.tree.map(lambda a: np.asarray(a), carry)
-        carry = step(carry, (jnp.asarray(i, dtype=jnp.int32), noise[i]))
-    for (t, b) in chosen:
-        if b not in caps:
-            caps[b] = jax.tree.map(lambda a: np.asarray(a), carry)
+    want = sorted({t for t, _ in chosen})
+
+    def progress(done, total, carry):
+        if done in want:
+            caps[done] = jax.tree.map(np.asarray, carry)
+
+    discrete.rollout_chunked(eng, noise, seg=seg, progress=progress)
     data = {}
     for (t, b) in chosen:
-        c = caps[b]
+        c = caps[t]
         data[f"{b}_t"] = np.asarray(t)
         for k in ("l", "u", "c1", "c2", "s"):
             data[f"{b}_{k}"] = getattr(c, k)[b]
@@ -126,6 +126,7 @@ def dump(path, runs=128, seed=20260818):
             data[f"{b}_{k}"] = getattr(c.admm_state, k)[b]
         data[f"{b}_minv"] = c.admm_state.minv[b]
         data[f"{b}_ref"] = c.admm_state.ref_coef[b]
+        data[f"{b}_alive"] = c.alive[b]
     data["scenarios"] = np.asarray([b for _, b in chosen])
     np.savez(path, **data)
     print(f"wrote {path}")
@@ -151,8 +152,10 @@ def analyze(path):
     B = len(scen)
     st64 = admm.ADMMSettings(solve_mode="chol", max_iter=4000,
                              stall_exit_chunks=12, stall_tighten_chunks=24)
+    # pad=True: the captured carry comes from the padded fp32 eig engine
+    # (nz 201->256, m 406->512); padding leaves solutions unchanged
     prob64 = admm.prepare_problem(static, dims, settings=st64,
-                                  dtype=jnp.float64)
+                                  dtype=jnp.float64, pad=True)
     g = lambda k: np.stack([d[f"{b}_{k}"] for b in scen])
     coeffs = tuple(jnp.asarray(g(k), dtype=jnp.float64)
                    for k in ("c1", "c2", "s"))
@@ -181,7 +184,7 @@ def analyze(path):
                              stall_exit_chunks=12, stall_tighten_chunks=24,
                              pallas_tile=4)
     prob32 = admm.prepare_problem(static, dims, settings=st32,
-                                  dtype=jnp.float32)
+                                  dtype=jnp.float32, pad=True)
     f32 = lambda a: jnp.asarray(a, dtype=jnp.float32)
     s32 = admm.init_state(prob32, B, st32)
     s32 = s32._replace(
@@ -201,11 +204,11 @@ def analyze(path):
     P, q = static.P, static.q
     for i, b in enumerate(scen):
         A = materialize_A(static, *[float(c[i]) for c in coeffs])
-        x = np.asarray(r32.x[i], dtype=np.float64)
+        x = np.asarray(r32.x[i], dtype=np.float64)[:A.shape[1]]
         Ax = A @ x
         li, ui = np.asarray(l[i]), np.asarray(u[i])
         pviol = max(np.maximum(Ax - ui, 0).max(), np.maximum(li - Ax, 0).max())
-        x64 = np.asarray(r64.x[i], dtype=np.float64)
+        x64 = np.asarray(r64.x[i], dtype=np.float64)[:A.shape[1]]
         pviol64 = max(np.maximum(A @ x64 - ui, 0).max(),
                       np.maximum(li - A @ x64, 0).max())
         iu = (dims.Nx + 1) * 4
@@ -214,12 +217,101 @@ def analyze(path):
               f"  control dev |u32-u64| {du:.3e}")
 
 
+def dump_full(path, step, runs=128, seed=20260818):
+    """Capture the FULL carry entering ``step`` plus that step's recorded
+    statuses (same compiled program, bit-exact)."""
+    import jax
+    import jax.numpy as jnp
+    from mpc_arpo_project_tpu.rollout import discrete
+
+    cache = os.environ.get("JAX_CACHE_DIR", "/tmp/jax_cache")
+    os.makedirs(cache, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    eng, _ = build()
+    rng = np.random.RandomState(seed)
+    draws = rng.normal(0.0, 1.0, size=(eng.nsim // 50 + 2, runs, 4))
+    noise = discrete.noise_sequence_from_draws(eng, draws)
+    caps = {}
+
+    def progress(done, total, carry):
+        if done == step:
+            caps["c"] = jax.tree.map(np.asarray, carry)
+
+    out = discrete.rollout_chunked(eng, noise, seg=1, progress=progress)
+    c = caps["c"]
+    st = np.asarray(out.status)[step]
+    np.savez(path, l=c.l, u=c.u, c1=c.c1, c2=c.c2, s=c.s,
+             xbar=c.admm_state.xbar, ybar=c.admm_state.ybar,
+             zbar=c.admm_state.zbar, rho=c.admm_state.rho_scale,
+             minv=c.admm_state.minv, ref=c.admm_state.ref_coef,
+             alive=c.alive, status=st, step=np.asarray(step))
+    print(f"wrote {path}: step {step}, statuses "
+          f"{dict(zip(*[a.tolist() for a in np.unique(st, return_counts=True)]))}")
+
+
+def resolve_full(path):
+    """Re-solve the captured full-batch step ON THE CURRENT BACKEND with the
+    production settings and compare statuses to the recorded ones."""
+    import jax
+    import jax.numpy as jnp
+    from mpc_arpo_project_tpu.ops import admm
+    from mpc_arpo_project_tpu.ops.qp_builder import QPDims, build_qp
+    from tools.ref_sim import discretize_np, synth_gains_np
+
+    cache = os.environ.get("JAX_CACHE_DIR", "/tmp/jax_cache")
+    os.makedirs(cache, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    d = np.load(path)
+    # use the ENGINE's problem: build_engine pins the Ruiz scaling to the
+    # scenario's nominal coefficients — a default-scaled prepare_problem is
+    # a DIFFERENT solver (measured: 85% status agreement on the step-65
+    # re-solve until this was fixed)
+    eng, _ = build()
+    prob, st = eng.prob, eng.settings
+    dt = jnp.float32
+    B = d["l"].shape[0]
+    state = admm.init_state(prob, B, st)
+    state = state._replace(
+        xbar=jnp.asarray(d["xbar"], dt), ybar=jnp.asarray(d["ybar"], dt),
+        zbar=jnp.asarray(d["zbar"], dt), rho_scale=jnp.asarray(d["rho"], dt),
+        minv=jnp.asarray(d["minv"], dt), ref_coef=jnp.asarray(d["ref"], dt),
+        minv_ok=jnp.ones((), dtype=bool))
+    r = admm.admm_solve(prob, (jnp.asarray(d["c1"], dt),
+                               jnp.asarray(d["c2"], dt),
+                               jnp.asarray(d["s"], dt)),
+                        jnp.asarray(d["l"], dt), jnp.asarray(d["u"], dt),
+                        state, st, active=jnp.asarray(d["alive"]))
+    got = np.asarray(r.status)
+    rec = d["status"]
+    alive = d["alive"]
+    print("backend:", jax.devices()[0].platform)
+    agree = (got[alive] == rec[alive]).mean()
+    print(f"status agreement on alive rows: {agree:.4f}")
+    for code, nm in ((1, "SOLVED"), (2, "MAX_ITER"), (3, "PINF")):
+        print(f"  {nm}: recorded {(rec[alive] == code).sum()}  "
+              f"re-solved {(got[alive] == code).sum()}")
+    mi = np.nonzero(alive & (rec == 2))[0]
+    print("recorded-MAX_ITER rows re-solve to:",
+          dict(zip(*[a.tolist() for a in
+                     np.unique(got[mi], return_counts=True)])))
+    print("their done_iters:", np.asarray(r.done_iters)[mi].tolist())
+
+
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--dump", default=None)
     ap.add_argument("--analyze", default=None)
+    ap.add_argument("--dump-full", default=None)
+    ap.add_argument("--resolve-full", default=None)
+    ap.add_argument("--step", type=int, default=65)
     args = ap.parse_args()
     if args.dump:
         dump(args.dump)
     elif args.analyze:
         analyze(args.analyze)
+    elif args.dump_full:
+        dump_full(args.dump_full, args.step)
+    elif args.resolve_full:
+        resolve_full(args.resolve_full)
