@@ -141,6 +141,57 @@ class ADMMSettings(NamedTuple):
     # coefficients at smax-level conditioning. alpha == 1 exactly (bit-
     # identical path) whenever |s| <= smax. 0 disables.
     eig_deb_equil_smax: float = 32.0
+    # fp32 dual-plateau rho rescue ('eig' mode; round-5 sigma=0.01 root-cause
+    # fix). Measured mechanism (tools/first_divergence.py, step 65 of the
+    # sigma=0.01 rollout — the FIRST production-vs-oracle status flip for 32
+    # of 45 gap scenarios): when the debris window engages, 13 problems hit
+    # an fp32 ITERATE-floor where the primal residual converges (~0.2x tol)
+    # but the dual plateaus at 1.9-5.6x tol — fp64-re-evaluating the same
+    # iterate reproduces the plateau exactly, so it is the iterate, not the
+    # residual computation. The rp/rd ratio (~0.26) sits INSIDE OSQP's
+    # adaptive-rho deadband (1/5), so rho never rebalances; fp64 grinds
+    # through the slow high-rho dual tail (100 iters), fp32's noise floor
+    # cannot. Rescue: when a row has primal converged, dual plateaued, and
+    # no residual progress for eig_rescue_chunks check intervals, force the
+    # STANDARD OSQP rho update through the deadband (same ratio formula,
+    # same refresh machinery). Measured on the captured step-65 carry:
+    # 13/13 rows SOLVED in 25-225 iters vs 0/13 stall-exits at 375-425.
+    # Genuinely-hard plateau rows (rp > tol — see probe_stall phase 2) never
+    # satisfy the primal-converged gate, and each rescue resets the stall
+    # clock at most eig_rescue_max times, so hopeless rows still exit.
+    # Round-5 phase 2 (step-67 capture, tools/first_divergence.py): the
+    # mirror class — BOTH residuals stuck just above tolerance (rp 1.1-1.7x)
+    # or primal plateaued a decade above — responds to rho DECREASE: from
+    # the same carry, rho x0.1 solves 33/46 recorded MAX_ITER rows (more
+    # than fp64 chol at the carried rho: 14/46 — the QPs are solvable, the
+    # warm-carried shared rho is simply mismatched once the debris window
+    # re-shapes the active set). Policy: when a stuck row's rp/rd ratio is
+    # decisive (outside [1/amin, amin]) use the standard OSQP rescale;
+    # otherwise nudge rho by eig_rescue_factor (down — measured direction).
+    # The near gate keeps genuinely divergent rows (res >> tol) from burning
+    # rescue rounds.
+    # Closed-loop A/B (sigma=0.01, n=128, identical draws): narrow 'dual'
+    # rescue 85/128 dockings vs baseline 83 vs GENERALIZED 'near' rescue
+    # (factor 0.1) 75 — rescuing the both-above class perturbs rows whose
+    # MAX_ITER->failsafe exit was benign, and loses more trajectories than
+    # the per-step solves it wins. Keep 'dual' (the measured iterate-floor
+    # class) as the default; 'near' stays for experiments.
+    eig_rho_rescue: bool = True
+    eig_rescue_mode: str = "dual"
+    eig_rescue_chunks: int = 6
+    eig_rescue_max: int = 4
+    eig_rescue_amin: float = 2.0
+    eig_rescue_factor: float = 0.1
+    eig_rescue_near: float = 50.0
+    # Inter-step rho step-down after a primal-plateau MAX_ITER exit
+    # (rp > tol, rd <= tol): the step-67 capture shows those rows solve from
+    # the SAME warm start at a decade-lower rho (33/46 at x0.1 vs 0/46).
+    # Closed-loop A/B said NO: sigma=0.01 dockings 85 -> 79 with 0.25 (and
+    # the mid-solve 'near' rescue on the same class measured 75) — the
+    # primal-plateau failsafe exits are evidently protective, and biasing
+    # the carried rho perturbs later solves. DISABLED by default; kept as a
+    # measured negative result. 0/1 disables.
+    eig_exit_rho_down: float = 0.0
     # 'eig' straggler compaction: at each listed chunk count the batch is
     # re-sorted WITHIN combo groups so still-running problems pack into the
     # fewest tiles (pure permutation of independent problems — iterates are
@@ -1336,7 +1387,13 @@ def _solve_eig(prob, coeffs, lbar, ubar, state, settings, qbar, active):
         if smax <= 0:
             return jnp.ones_like(ssv)
         sa = jnp.abs(ssv)
-        return jnp.where(sa > smax, smax / sa, jnp.ones_like(ssv))
+        # non-finite s (exact vertex crossing: the reference's unguarded
+        # (y-vy)/(x-vx) can yield inf) must NOT equilibrate: smax/inf = 0
+        # collides with the kernel's 0-means-disabled sentinel while the
+        # pre-warped bounds would see rowsc=0 (inf*0=NaN) — leave alpha=1
+        # and let the nan-reset machinery own that row
+        return jnp.where(jnp.isfinite(ssv) & (sa > smax),
+                         smax / sa, jnp.ones_like(ssv))
 
     dmask_m = jnp.max(scat_s, axis=0)  # (m,) 1.0 on debris rows
 
@@ -1426,7 +1483,7 @@ def _solve_eig(prob, coeffs, lbar, ubar, state, settings, qbar, active):
         def body(carry):
             (x, y, z, rp_prev, rd_prev, done, status, chunk, tinv, rho_scale,
              ref, best_rp, best_rd, last_prog, done_chunk, tp_prev,
-             td_prev) = carry
+             td_prev, rescue_cnt, post_rescue) = carry
             done_in = done
             nc = chunk + mult
             x_n, y_n, z_n, stats = admm_eig.eig_chunk(
@@ -1485,6 +1542,12 @@ def _solve_eig(prob, coeffs, lbar, ubar, state, settings, qbar, active):
                 td = jnp.where(badrow, 0.0, td)
             pinf = stats[:, 4] > 0
             dinf = stats[:, 5] > 0
+            # certificate blackout for the chunk right after a rho rescue:
+            # the Farkas deltas (dy, dx) span the operator change, which
+            # fires spurious PINF on feasible problems (measured at
+            # sigma=0.01: 5 -> ~170 PINF steps without this mask)
+            pinf = pinf & ~post_rescue
+            dinf = dinf & ~post_rescue
             if settings.eig_nan_reset:
                 # the kernel's sign-arithmetic infeasibility flags have no
                 # finiteness guards (unlike the XLA path's isfinite(sup)
@@ -1525,6 +1588,7 @@ def _solve_eig(prob, coeffs, lbar, ubar, state, settings, qbar, active):
             best_rp = jnp.minimum(best_rp, rp)
             best_rd = jnp.minimum(best_rd, rd)
 
+            rescue = jnp.zeros_like(done)
             if settings.adaptive_rho:
                 num = rp / jnp.maximum(rp_rel, 1e-10)
                 den = jnp.maximum(rd / jnp.maximum(rd_rel, 1e-10), 1e-10)
@@ -1535,7 +1599,32 @@ def _solve_eig(prob, coeffs, lbar, ubar, state, settings, qbar, active):
                     & ~done
                     & (nc % adapt_stride == 0)
                 )
-                new_scale = jnp.where(trig, rho_scale * ratio, rho_scale)
+                if settings.eig_rho_rescue and settings.stall_exit_chunks:
+                    # stuck-row rho rescue (see ADMMSettings.eig_rho_rescue):
+                    # unconverged + near tolerance + no residual progress for
+                    # eig_rescue_chunks -> force a rho rescale through the
+                    # adaptation deadband and restart the stall clock
+                    if settings.eig_rescue_mode == "dual":
+                        gate = (rp <= tp) & (rd > td)
+                    else:
+                        nm = settings.eig_rescue_near
+                        gate = ((rp <= nm * jnp.maximum(tp, 1e-30))
+                                & (rd <= nm * jnp.maximum(td, 1e-30))
+                                & ((rp > tp) | (rd > td)))
+                    rescue = (
+                        (~done) & gate
+                        & (nc - last_prog >= settings.eig_rescue_chunks)
+                        & (rescue_cnt < settings.eig_rescue_max)
+                        & jnp.isfinite(ratio)
+                    )
+                    trig = trig | rescue
+                    last_prog = jnp.where(rescue, nc, last_prog)
+                    rescue_cnt = rescue_cnt + rescue.astype(jnp.int32)
+                amin = settings.eig_rescue_amin
+                decisive = (ratio > amin) | (ratio < 1.0 / amin)
+                factor = jnp.where(
+                    rescue & ~decisive, settings.eig_rescue_factor, ratio)
+                new_scale = jnp.where(trig, rho_scale * factor, rho_scale)
                 new_scale = jnp.clip(
                     new_scale,
                     RHO_MIN / settings.rho_bar,
@@ -1558,7 +1647,7 @@ def _solve_eig(prob, coeffs, lbar, ubar, state, settings, qbar, active):
             done_chunk = jnp.where(done & ~done_in, nc, done_chunk)
             return (x, y, z, rp, rd, done, status, nc, tinv,
                     rho_scale, ref, best_rp, best_rd, last_prog, done_chunk,
-                    tp, td)
+                    tp, td, rescue_cnt, rescue)
 
         return body
 
@@ -1600,6 +1689,8 @@ def _solve_eig(prob, coeffs, lbar, ubar, state, settings, qbar, active):
         jnp.zeros((n_slots,), dtype=jnp.int32),  # done_chunk
         jnp.zeros((n_slots,), dtype=dt),  # pri tol at exit
         jnp.zeros((n_slots,), dtype=dt),  # dua tol at exit
+        jnp.zeros((n_slots,), dtype=jnp.int32),  # rho-rescue count
+        jnp.zeros((n_slots,), dtype=bool),  # post-rescue cert blackout
     )
 
     prev_end = 0
@@ -1621,7 +1712,7 @@ def _solve_eig(prob, coeffs, lbar, ubar, state, settings, qbar, active):
                                    make_body(sdata, 1), carry)
 
     (x, y, z, rp, rd, done, status, chunks, tinv, rho_scale, ref,
-     _, _, _, done_chunk, rp_tol, rd_tol) = carry
+     _, _, _, done_chunk, rp_tol, rd_tol, _, _) = carry
 
     # ---- scatter back to problem order: src (permuted alongside the data)
     # maps slot -> problem; invert it (dummy slots carry src == B, an
@@ -1646,6 +1737,17 @@ def _solve_eig(prob, coeffs, lbar, ubar, state, settings, qbar, active):
 
     status = jnp.where(done, status, MAX_ITER).astype(jnp.int32)
     done_chunk = jnp.where(active & (done_chunk == 0), chunks, done_chunk)
+
+    # inter-step rho step-down (see ADMMSettings.eig_exit_rho_down): bias the
+    # CARRIED rho after a primal-plateau MAX_ITER exit so the next, nearby
+    # QP starts in the basin the step-67 capture measured as solvable
+    down = float(settings.eig_exit_rho_down)
+    if 0.0 < down < 1.0:
+        pp = (status == MAX_ITER) & (rp > jnp.maximum(rp_tol, 1e-30)) & (
+            rd <= jnp.maximum(rd_tol, 1e-30))
+        rho_scale = jnp.where(pp, jnp.clip(
+            rho_scale * down, RHO_MIN / settings.rho_bar,
+            RHO_MAX / (settings.rho_bar * RHO_EQ_SCALE)), rho_scale)
 
     return ADMMResult(
         x=prob.D * x,

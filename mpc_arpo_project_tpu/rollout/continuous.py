@@ -418,3 +418,68 @@ def rollout(
         iters=iters_s,
         done_iters=done_iters_s,
     )
+
+
+def rollout_chunked(
+    engine: ContinuousEngine,
+    noise_draws: jnp.ndarray,
+    x0b: Optional[jnp.ndarray] = None,
+    seg: int = 25,
+    progress=None,
+) -> ContinuousOut:
+    """Identical semantics to :func:`rollout`, dispatched in ``seg``-tick
+    segments from the host (see rollout.discrete.rollout_chunked: one
+    compiled segment program reused across dispatches keeps device kernels
+    short for remote-attached TPUs and enables progress callbacks). The
+    reference's flagship continuous run is 300 s @ 1 ms = 300k RK45 substeps
+    (`/root/reference/test/traj_eval_radialC.py:37-38`) — far too long for a
+    single in-graph scan dispatch over a remote tunnel. Tick counts not
+    divisible by ``seg`` compile one extra remainder-length program."""
+    base = engine.base
+    B = noise_draws.shape[1]
+    dt = base.Ad.dtype
+    if x0b is None:
+        x0b = jnp.broadcast_to(base.x0, (B, 4)).astype(dt)
+
+    dcarry = dd._init_carry(base, B, x0b)
+    n_total = engine.n_ticks * engine.n_sub
+    carry = _CCarry(
+        x_true=x0b, xest=dcarry.xest, xest_stored=dcarry.xest_stored,
+        P=dcarry.P, xintf=dcarry.xintf,
+        prev_u=jnp.zeros((B, 2), dtype=dt),
+        l=dcarry.l, u=dcarry.u, c1=dcarry.c1, c2=dcarry.c2, s=dcarry.s,
+        admm_state=dcarry.admm_state,
+        alive=jnp.ones((B,), dtype=bool),
+        i_term_sub=jnp.full((B,), n_total, dtype=jnp.int32),
+        succ=jnp.zeros((B,), dtype=bool),
+    )
+
+    @jax.jit
+    def segment(c, ticks_seg):
+        with jax.default_matmul_precision("highest"):
+            return jax.lax.scan(
+                lambda cc, j: _tick(engine, cc, (j,), noise_draws, False),
+                c, ticks_seg)
+
+    outs = []
+    ticks = np.arange(1, engine.n_ticks, dtype=np.int32)
+    for s0 in range(0, len(ticks), seg):
+        carry, o = segment(carry, jnp.asarray(ticks[s0:s0 + seg]))
+        outs.append(o)
+        if progress is not None:
+            progress(int(ticks[min(s0 + seg, len(ticks)) - 1]) + 1,
+                     engine.n_ticks, carry)
+
+    cat = lambda xs: jnp.concatenate(xs, axis=0)
+    # outs[7] (x_sub) is None with substep_telemetry=False
+    (x_ticks_s, xest_s, ctrl_s, code_s, status_s, iters_s, done_iters_s) = (
+        cat([o[k] for o in outs]) for k in range(7))
+    x_true_ticks = jnp.concatenate([x0b[None], x0b[None], x_ticks_s], axis=0)
+    xest0 = jnp.concatenate([x0b, jnp.zeros((B, 2), dtype=dt)], axis=1)
+    x_est = jnp.concatenate([xest0[None], xest0[None], xest_s], axis=0)
+    ctrls = jnp.concatenate([jnp.zeros((2, B, 2), dtype=dt), ctrl_s], axis=0)
+    return ContinuousOut(
+        x_true_ticks=x_true_ticks, x_sub=None, x_est=x_est, ctrls=ctrls,
+        ctrl_seq=code_s, status=status_s, i_term_sub=carry.i_term_sub,
+        success=carry.succ, iters=iters_s, done_iters=done_iters_s,
+    )

@@ -249,3 +249,48 @@ def test_eig_nan_reset_rescues_poisoned_rows(setup):
     # (raw-residual fallback) or finite
     assert np.isfinite(np.asarray(r.pri_tol)).all()
     assert np.isfinite(np.asarray(r.dua_tol)).all()
+
+
+def test_rho_rescue_solves_dual_plateau_capture():
+    """Round-5 sigma=0.01 root-cause gate (see ADMMSettings.eig_rho_rescue):
+    the committed step-65 capture (`artifacts/fd_cap65_r5.npz`, the FIRST
+    production-vs-oracle status flip of the sigma=0.01 rollout) holds 13
+    rows whose fp32 eig solve stalls with primal converged and dual
+    plateaued at 1.9-5.6x tolerance while fp64 chol solves all 13 from the
+    identical carry. With the rescue the fp32 solver must solve them too;
+    with it disabled they must stall-exit MAX_ITER — both directions pin
+    the measured mechanism. A 16-row slice keeps CPU interpret cost down
+    (rows are independent; slicing is exact)."""
+    import os
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "artifacts", "fd_cap65_r5.npz")
+    if not os.path.exists(path):
+        pytest.skip("capture artifact not present")
+    d = np.load(path)
+    plateau = np.nonzero(d["alive"] & (d["status"] == 2))[0]
+    assert len(plateau) == 13
+    # 16-row slice: the 13 plateau rows + 3 solved fillers
+    rows = np.concatenate([plateau, np.nonzero(d["alive"]
+                                               & (d["status"] == 1))[0][:3]])
+    from tools.probe_stall import build
+    eng, _ = build()
+    prob = eng.prob
+    dt = jnp.float32
+    sl = lambda a: jnp.asarray(d[a][rows], dt)
+
+    def run(st):
+        s = admm.init_state(prob, len(rows), st)
+        s = s._replace(xbar=sl("xbar"), ybar=sl("ybar"), zbar=sl("zbar"),
+                       rho_scale=sl("rho"), minv=sl("minv"),
+                       ref_coef=sl("ref"), minv_ok=jnp.ones((), dtype=bool))
+        return admm.admm_solve(
+            prob, (sl("c1"), sl("c2"), sl("s")), sl("l"), sl("u"), s, st,
+            active=jnp.asarray(d["alive"][rows]))
+
+    base = eng.settings._replace(pallas_tile=4)
+    r_on = run(base)
+    st_on = np.asarray(r_on.status)[:13]
+    assert (st_on == admm.SOLVED).sum() >= 12, st_on
+    r_off = run(base._replace(eig_rho_rescue=False))
+    st_off = np.asarray(r_off.status)[:13]
+    assert (st_off == admm.MAX_ITER).sum() >= 12, st_off

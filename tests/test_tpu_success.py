@@ -53,9 +53,23 @@ _WORKER = textwrap.dedent(
     out = discrete.rollout_chunked(engine, noise, seg=10)
     n_succ = int(np.asarray(out.success).sum())
     print(f"production success: {{n_succ}}/{{B}}", flush=True)
-    # oracle band is ~63% at this sigma (round-3 measurement); anything
-    # materially nonzero distinguishes a works-at-all regression
-    assert n_succ >= max(2, int(0.2 * B)), n_succ
+    # measured production band (round 5, n=128, dual rho rescue): 66.4%;
+    # the >= 50% gate catches any regression to a materially weaker solver
+    # while leaving ~3-sigma of binomial headroom at B=32 (VERDICT r4 #6)
+    assert n_succ >= int(0.5 * B), n_succ
+
+    # noiseless docking must be exact: sigma=0 (no estimator) docks 8/8 —
+    # pinned on CPU fp64 by tests/test_rollout.py; this asserts it for the
+    # fp32 eig production path on the chip
+    sim0, mpc0, fail0, debris0 = build_configs("ref", sigma=0.0)
+    eng0 = discrete.build_engine(sim0, mpc0, fail0, debris0,
+                                 settings=settings, dtype=jnp.float32)
+    B0 = 8
+    noise0 = jnp.zeros((eng0.nsim, B0, 4), dtype=jnp.float32)
+    out0 = discrete.rollout_chunked(eng0, noise0, seg=10)
+    n0 = int(np.asarray(out0.success).sum())
+    print(f"noiseless success: {{n0}}/{{B0}}", flush=True)
+    assert n0 == B0, n0
     """
 )
 

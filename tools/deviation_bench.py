@@ -10,8 +10,17 @@ OSQP" metric, measured per-solve so closed-loop chaos cannot inflate it.
 Ground truth per step: the oracle re-solved at tight tolerance + polish.
 
 Usage:
-    python tools/deviation_bench.py [--mode chol|pallas] [--steps 60]
+    python tools/deviation_bench.py [--mode chol|pallas|eig] [--steps 60]
         [--dtype f32|f64] [--accurate]
+
+The oracle recorder (tools/ref_sim + OSQP polish ground truth) is CPU fp64
+NumPy; the production measurement (VERDICT r4 task 3) solves the recorded
+sequence with the eig fp32 path ON THE TPU. jax backends are process-global,
+so that needs two invocations:
+
+    python tools/deviation_bench.py --record /tmp/devseq.npz        # CPU
+    python tools/deviation_bench.py --replay /tmp/devseq.npz \
+        --mode eig --dtype f32 --tpu                                # TPU
 """
 
 from __future__ import annotations
@@ -31,15 +40,32 @@ def main(argv=None):
     ap.add_argument("--dtype", default="f64", choices=["f32", "f64"])
     ap.add_argument("--accurate", action="store_true",
                     help="accuracy-mode solver settings (tighter eps)")
+    ap.add_argument("--accurate-f32", action="store_true",
+                    help="fp32-reachable accuracy mode: eps_abs=1e-5, "
+                         "eps_rel=1e-6 (eps_rel=1e-10 sits below fp32 eps, "
+                         "so --accurate never converges in fp32)")
     ap.add_argument("--cpu", action="store_true", default=True)
+    ap.add_argument("--tpu", action="store_true",
+                    help="leave the default (TPU) backend for the solver")
+    ap.add_argument("--record", default=None,
+                    help="record the oracle QP sequence + polished ground "
+                         "truth to this npz and exit (CPU)")
+    ap.add_argument("--replay", default=None,
+                    help="solve a --record'ed sequence on the current "
+                         "backend instead of re-running the oracle")
     args = ap.parse_args(argv)
 
     import jax
 
-    if args.cpu:
+    if args.cpu and not args.tpu:
         jax.config.update("jax_platforms", "cpu")
     if args.dtype == "f64":
         jax.config.update("jax_enable_x64", True)
+    if args.tpu:
+        cache = os.environ.get("JAX_CACHE_DIR", "/tmp/jax_cache")
+        os.makedirs(cache, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
 
     from examples.common import radial_config
@@ -51,10 +77,6 @@ def main(argv=None):
     sim, mpc, fail, debris = radial_config(noisy=True, T_final=args.steps * 0.5)
     dims = QPDims(Nx=mpc.Nx, Nc=mpc.Nc, Nb=mpc.Nb)
 
-    # --- record the oracle's QP sequence
-    recorded = []
-    orig_cfg = ref_sim.configure_dynamic_np
-
     Ad, Bd = ref_sim.discretize_np(sim.mean_mtn, sim.time_stp, sim.isDeltaV)
     K, QN, *_ = ref_sim.synth_gains_np(Ad, Bd, mpc, fail)
     static = build_qp(dims, sim, mpc, Ad, Bd, K, QN)
@@ -62,86 +84,112 @@ def main(argv=None):
         sim, debris, np.concatenate([sim.x0, [0.0, 0.0]])
     )
 
-    from tools.osqp_ref import OSQPRef as _O
+    if args.replay:
+        rec = np.load(args.replay)
+        ls, us, coeffs, u_trues = rec["l"], rec["u"], rec["coeffs"], rec["u_true"]
+        n_steps = ls.shape[0]
+        print(f"replaying {n_steps} recorded QP solves on "
+              f"{jax.devices()[0].platform}")
+    else:
+        # --- record the oracle's QP sequence
+        from tools.osqp_ref import OSQPRef as _O
 
-    solves = []
-    orig_solve = _O.solve
+        solves = []
+        orig_solve = _O.solve
 
-    def recording_solve(self):
-        solves.append(
-            dict(l=self.l.copy(), u=self.u.copy(), A=self._rec_A.copy()
-                 if hasattr(self, "_rec_A") else None)
-        )
-        return orig_solve(self)
+        def recording_solve(self):
+            solves.append(
+                dict(l=self.l.copy(), u=self.u.copy(), A=self._rec_A.copy()
+                     if hasattr(self, "_rec_A") else None)
+            )
+            return orig_solve(self)
 
-    orig_update = _O.update
+        orig_update = _O.update
 
-    def recording_update(self, l=None, u=None, A=None):
-        if A is not None:
+        def recording_update(self, l=None, u=None, A=None):
+            if A is not None:
+                self._rec_A = np.asarray(A)
+            return orig_update(self, l=l, u=u, A=A)
+
+        orig_init = _O.__init__
+
+        def recording_init(self, P, q, A, l, u, **kw):
+            orig_init(self, P, q, A, l, u, **kw)
             self._rec_A = np.asarray(A)
-        return orig_update(self, l=l, u=u, A=A)
 
-    orig_init = _O.__init__
+        _O.__init__ = recording_init
+        _O.solve = recording_solve
+        _O.update = recording_update
+        try:
+            run = ref_sim.simulate_discrete(sim, mpc, fail, debris, seed=3)
+        finally:
+            _O.__init__ = orig_init
+            _O.solve = orig_solve
+            _O.update = orig_update
 
-    def recording_init(self, P, q, A, l, u, **kw):
-        orig_init(self, P, q, A, l, u, **kw)
-        self._rec_A = np.asarray(A)
+        n_steps = len(solves)
+        print(f"recorded {n_steps} QP solves from the oracle closed loop "
+              f"(statuses: {dict((s, run.statuses.count(s)) for s in set(run.statuses))})")
 
-    _O.__init__ = recording_init
-    _O.solve = recording_solve
-    _O.update = recording_update
-    try:
-        run = ref_sim.simulate_discrete(sim, mpc, fail, debris, seed=3)
-    finally:
-        _O.__init__ = orig_init
-        _O.solve = orig_solve
-        _O.update = orig_update
+        # dynamic coefficients per step from the recorded A matrices
+        fr0, vx0 = static.fun_rows[0], static.velx_cols[0]
+        dr0, px0 = static.deb_rows[0], static.posx_cols[0]
+        coeffs = np.array(
+            [
+                (s_["A"][fr0, vx0], s_["A"][fr0, static.vely_cols[0]], s_["A"][dr0, px0])
+                for s_ in solves
+            ]
+        )
+        ls = np.stack([s_["l"] for s_ in solves])
+        us = np.stack([s_["u"] for s_ in solves])
+        i0r = (dims.Nx + 1) * 4
 
-    n_steps = len(solves)
-    print(f"recorded {n_steps} QP solves from the oracle closed loop "
-          f"(statuses: {dict((s, run.statuses.count(s)) for s in set(run.statuses))})")
+        def _truth(s_):
+            oracle = OSQPRef(static.P, static.q, s_["A"], s_["l"], s_["u"],
+                             eps_abs=1e-6, eps_rel=1e-10, max_iter=60000)
+            return oracle.polish(oracle.solve()).x[i0r : i0r + 2]
 
-    # dynamic coefficients per step from the recorded A matrices
-    fr0, vx0 = static.fun_rows[0], static.velx_cols[0]
-    dr0, px0 = static.deb_rows[0], static.posx_cols[0]
-    coeffs = np.array(
-        [
-            (s_["A"][fr0, vx0], s_["A"][fr0, static.vely_cols[0]], s_["A"][dr0, px0])
-            for s_ in solves
-        ]
-    )
+        u_trues = np.stack([_truth(s_) for s_ in solves])
+        if args.record:
+            np.savez(args.record, l=ls, u=us, coeffs=coeffs, u_true=u_trues)
+            print(f"wrote {args.record}")
+            return None
 
     dtype = jnp.float64 if args.dtype == "f64" else jnp.float32
-    settings = admm.ADMMSettings(
-        solve_mode=args.mode,
-        **(dict(eps_abs=1e-5, eps_rel=1e-10, max_iter=10000) if args.accurate else {}),
-    )
+    acc = {}
+    if args.accurate:
+        acc = dict(eps_abs=1e-5, eps_rel=1e-10, max_iter=10000)
+    elif args.accurate_f32:
+        acc = dict(eps_abs=1e-5, eps_rel=1e-6, max_iter=20000)
+    settings = admm.ADMMSettings(solve_mode=args.mode, **acc)
     prob = admm.prepare_problem(
         static, dims, settings, nominal_coeffs=(c1_0, c2_0, -s0), dtype=dtype,
         pad=(args.mode in ("pallas", "eig")),
     )
-    state = admm.init_state(prob, 1, settings)
+    # TPU Mosaic blocks need >= 8 rows; replicate the single problem across
+    # a width-8 batch (rows are independent and identical, so row 0 of the
+    # warm-started sequence is unchanged)
+    nb = 8 if (args.tpu and args.mode in ("pallas", "eig")) else 1
+    if nb > 1:
+        settings = settings._replace(pallas_tile=8)
+    state = admm.init_state(prob, nb, settings)
 
     i0 = (dims.Nx + 1) * 4
     max_dev = 0.0
     devs = []
-    for k, s_ in enumerate(solves):
+    for k in range(n_steps):
         c1, c2, s3 = coeffs[k]
-        cc = (jnp.full(1, c1, dtype=dtype), jnp.full(1, c2, dtype=dtype),
-              jnp.full(1, s3, dtype=dtype))
-        res = admm.admm_solve(
-            prob, cc, jnp.asarray(s_["l"], dtype=dtype)[None],
-            jnp.asarray(s_["u"], dtype=dtype)[None], state, settings,
-        )
+        cc = (jnp.full(nb, c1, dtype=dtype), jnp.full(nb, c2, dtype=dtype),
+              jnp.full(nb, s3, dtype=dtype))
+        lk = jnp.broadcast_to(jnp.asarray(ls[k], dtype=dtype)[None], (nb, ls.shape[1]))
+        uk = jnp.broadcast_to(jnp.asarray(us[k], dtype=dtype)[None], (nb, us.shape[1]))
+        res = admm.admm_solve(prob, cc, lk, uk, state, settings)
         state = res.state
         solved = int(res.status[0]) == admm.SOLVED
         u_jax = np.asarray(res.x[0, i0 : i0 + 2])
-        # ground truth: tight oracle + polish on the same QP
-        oracle = OSQPRef(static.P, static.q, s_["A"], s_["l"], s_["u"],
-                         eps_abs=1e-6, eps_rel=1e-10, max_iter=60000)
-        rt = oracle.polish(oracle.solve())
-        u_true = rt.x[i0 : i0 + 2]
-        d = float(np.abs(u_jax - u_true).max())
+        # ground truth: tight oracle + polish on the same QP (precomputed
+        # in --record mode)
+        d = float(np.abs(u_jax - u_trues[k]).max())
         devs.append((d, solved))
         max_dev = max(max_dev, d)
 

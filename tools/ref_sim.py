@@ -114,8 +114,8 @@ def configure_dynamic_np(sim: SimConditions, debris: Optional[Debris], xest):
         hasDebris = False
         detect_dist = np.inf
 
-    C1 = (-1, 1)[xest[2] >= 0]
-    C2 = (-1, 1)[xest[3] >= 0]
+    C1 = (-1, 1)[bool(xest[2] >= 0)]
+    C2 = (-1, 1)[bool(xest[3] >= 0)]
 
     if sim.inTrack:
         xestCalc = np.copy(xest)
